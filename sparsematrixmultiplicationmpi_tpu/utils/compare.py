@@ -1,0 +1,55 @@
+"""Result comparison — the framework's correctness oracle contract.
+
+Parity with the reference comparator ``Source Code/utils.cpp:38-63``:
+elementwise **absolute** tolerance (``fabs(a-b) > tolerance``), dimension
+mismatch => unequal, default tolerance 1e-6 (call sites
+``main.cpp:184,227,270,386``). Because TPUs compute in f32/bf16 where the
+reference used f64, a relative-tolerance mode is added (documented
+divergence; SURVEY.md §7 "hard parts" (b)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["are_matrices_equal", "max_abs_error", "default_tolerance"]
+
+#: Reference tolerance (utils.cpp call sites use 1e-6).
+DEFAULT_ABS_TOL = 1e-6
+
+
+def default_tolerance(dtype) -> float:
+    """Dtype-aware absolute tolerance: the reference's 1e-6 for f64;
+    looser for the TPU-native low-precision dtypes."""
+    dtype = np.dtype(dtype) if not hasattr(dtype, "itemsize") else np.dtype(str(dtype))
+    if dtype == np.float64:
+        return DEFAULT_ABS_TOL
+    if dtype == np.float32:
+        return 1e-3
+    return 1e-1  # bf16 and below
+
+
+def are_matrices_equal(a, b, tolerance: float = DEFAULT_ABS_TOL,
+                       relative: bool = False) -> bool:
+    """Reference-parity comparator (``utils.cpp:38-63``).
+
+    ``relative=True`` scales the tolerance by ``max(|a|, |b|)`` elementwise
+    (needed for f32/bf16 TPU results against an f64 oracle).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        return False
+    diff = np.abs(a - b)
+    if relative:
+        scale = np.maximum(np.maximum(np.abs(a), np.abs(b)), 1.0)
+        return bool(np.all(diff <= tolerance * scale))
+    return bool(np.all(diff <= tolerance))
+
+
+def max_abs_error(a, b) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        return float("inf")
+    return float(np.max(np.abs(a - b))) if a.size else 0.0

@@ -1,0 +1,82 @@
+"""Structured phase timing.
+
+Replaces the reference's two-tier timing story — ``MPI_Wtime`` wall clocks
+around each algorithm (``main.cpp:161-163`` etc.) plus *commented-out* debug
+timers inside every kernel (``RowWise.cpp:21-23,52-60,89-98``) that had to be
+uncommented to produce ``results_debug.csv`` — with a first-class,
+always-available phase timer that understands JAX's async dispatch
+(``block_until_ready`` instead of ``MPI_Barrier``) and exports
+machine-readable records instead of grep-able stdout prose.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Dict, List
+
+import jax
+
+__all__ = ["PhaseTimer", "Timing", "time_fn"]
+
+
+@dataclasses.dataclass
+class Timing:
+    """One timed measurement (seconds)."""
+
+    name: str
+    seconds: float
+
+    def to_dict(self):
+        return {"name": self.name, "seconds": self.seconds}
+
+
+class PhaseTimer:
+    """Accumulates named phase timings; the ``results_debug.csv`` analog."""
+
+    def __init__(self):
+        self.records: List[Timing] = []
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        """Time a phase. ``sync`` is an optional array/pytree to
+        ``block_until_ready`` before stopping the clock (the reference used
+        ``MPI_Barrier`` + ``MPI_Wtime``; with XLA async dispatch the fence
+        must be on the data)."""
+        start = time.perf_counter()
+        result = {}
+        try:
+            yield result
+        finally:
+            target = result.get("sync", sync)
+            if target is not None:
+                jax.block_until_ready(target)
+            self.records.append(Timing(name, time.perf_counter() - start))
+
+    def total(self, prefix: str = "") -> float:
+        return sum(r.seconds for r in self.records if r.name.startswith(prefix))
+
+    def as_dict(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for r in self.records:
+            out[r.name] = out.get(r.name, 0.0) + r.seconds
+        return out
+
+
+def time_fn(fn, *args, warmup: int = 1, iters: int = 5, **kwargs):
+    """Benchmark a jitted function: returns (best_seconds, result).
+
+    Warms up (compile), then takes the best of ``iters`` timed runs, fencing
+    with ``block_until_ready`` — the MPI_Wtime-pair analog
+    (``main.cpp:161-163``) done correctly for an async runtime.
+    """
+    result = None
+    for _ in range(max(warmup, 1)):
+        result = jax.block_until_ready(fn(*args, **kwargs))
+    best = float("inf")
+    for _ in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        result = jax.block_until_ready(fn(*args, **kwargs))
+        best = min(best, time.perf_counter() - t0)
+    return best, result

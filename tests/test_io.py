@@ -1,0 +1,160 @@
+"""Matrix Market loader tests — reference parity (utils.cpp:70-185)."""
+
+import numpy as np
+import pytest
+
+from sparsematrixmultiplicationmpi_tpu import (
+    CSR, max_abs_error, read_matrix_market, write_matrix_market,
+)
+from sparsematrixmultiplicationmpi_tpu.io.mtx import read_matrix_market_numpy
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    generate_fat_vector, random_csr,
+)
+
+
+def _write(tmp_path, text, name="m.mtx"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_general_real(tmp_path):
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate real general
+% a comment
+3 3 4
+1 1 2.0
+1 3 -1.5
+2 2 4.0
+3 1 0.25
+""")
+    csr = read_matrix_market(path)
+    expected = np.array([[2.0, 0, -1.5], [0, 4.0, 0], [0.25, 0, 0]])
+    assert csr.shape == (3, 3)
+    assert csr.nnz == 4
+    assert max_abs_error(csr.to_dense(), expected) == 0.0
+
+
+def test_symmetric_expansion(tmp_path):
+    # Off-diagonal entries are mirrored (utils.cpp:149-152); diagonal is not
+    # duplicated.
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate real symmetric
+3 3 3
+1 1 1.0
+2 1 5.0
+3 2 7.0
+""")
+    csr = read_matrix_market(path)
+    expected = np.array([[1.0, 5, 0], [5, 0, 7], [0, 7, 0]])
+    assert csr.nnz == 5  # 3 stored + 2 mirrored
+    assert max_abs_error(csr.to_dense(), expected) == 0.0
+
+
+def test_pattern(tmp_path):
+    # Pattern entries get value 1.0 (utils.cpp:127-131).
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate pattern general
+2 2 2
+1 2
+2 1
+""")
+    csr = read_matrix_market(path)
+    expected = np.array([[0, 1.0], [1.0, 0]])
+    assert max_abs_error(csr.to_dense(), expected) == 0.0
+
+
+def test_pattern_symmetric(tmp_path):
+    path = _write(
+        tmp_path, """%%MatrixMarket matrix coordinate pattern symmetric
+3 3 2
+2 1
+3 1
+""")
+    csr = read_matrix_market(path)
+    expected = np.array([[0, 1.0, 1.0], [1.0, 0, 0], [1.0, 0, 0]])
+    assert max_abs_error(csr.to_dense(), expected) == 0.0
+
+
+def test_token_scan_in_any_comment_line(tmp_path):
+    # The reference substring-scans every comment line for the tokens, not
+    # just the banner (utils.cpp:84-105).
+    path = _write(tmp_path, """% hello
+% this matrix is symmetric believe me
+2 2 1
+2 1 3.0
+""")
+    csr = read_matrix_market(path)
+    expected = np.array([[0, 3.0], [3.0, 0]])
+    assert max_abs_error(csr.to_dense(), expected) == 0.0
+
+
+def test_rows_sorted_by_column(tmp_path):
+    # Per-row sort by column index (utils.cpp:156-159).
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate real general
+1 4 3
+1 3 3.0
+1 1 1.0
+1 4 4.0
+""")
+    csr = read_matrix_market(path)
+    np.testing.assert_array_equal(np.asarray(csr.col_indices), [0, 2, 3])
+    np.testing.assert_array_equal(np.asarray(csr.values), [1.0, 3.0, 4.0])
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        read_matrix_market("/nonexistent/file.mtx")
+
+
+def test_truncated_body(tmp_path):
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate real general
+3 3 4
+1 1 2.0
+""")
+    with pytest.raises(ValueError):
+        read_matrix_market_numpy(path)
+
+
+def test_bad_header(tmp_path):
+    path = _write(tmp_path, "% only comments and then EOF\n")
+    with pytest.raises(ValueError):
+        read_matrix_market_numpy(path)
+
+
+def test_out_of_bounds_index(tmp_path):
+    path = _write(tmp_path, """%%MatrixMarket matrix coordinate real general
+2 2 1
+3 1 1.0
+""")
+    with pytest.raises(ValueError):
+        read_matrix_market_numpy(path)
+
+
+def test_write_read_round_trip(tmp_path, rng):
+    csr = random_csr(37, 21, 150, seed=11)
+    path = str(tmp_path / "rt.mtx")
+    write_matrix_market(path, csr, comment="round trip fixture")
+    back = read_matrix_market(path)
+    assert back.shape == csr.shape
+    assert max_abs_error(back.to_dense(), csr.to_dense()) == 0.0
+
+
+def test_write_read_symmetric_round_trip(tmp_path, rng):
+    d = np.asarray(random_csr(20, 20, 120, seed=12).to_dense())
+    sym = d + d.T
+    csr = CSR.from_dense(sym)
+    path = str(tmp_path / "sym.mtx")
+    write_matrix_market(path, csr, symmetric=True)
+    back = read_matrix_market(path)
+    assert max_abs_error(back.to_dense(), sym) == 0.0
+
+
+def test_fat_vector_deterministic():
+    # Mirrors generateLargeFatVector's observable contract
+    # (utils.cpp:193-209): integers 1..100, bit-identical across runs.
+    a = generate_fat_vector(50, 6, seed=3)
+    b = generate_fat_vector(50, 6, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (50, 6)
+    assert a.min() >= 1 and a.max() <= 100
+    assert np.all(a == np.floor(a))
+    c = generate_fat_vector(50, 6, seed=4)
+    assert not np.array_equal(a, c)
