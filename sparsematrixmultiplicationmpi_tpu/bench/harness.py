@@ -1,0 +1,219 @@
+"""Benchmark harness — the TPU-native replacement for the reference's
+PBS/awk pipeline.
+
+The reference's measurement stack is ``batch_test.sh`` (cartesian PBS sweep,
+``scripts/batch_test.sh:9-50``) -> rank-0 stdout phrases (``main.cpp:80,168,
+211,254,352``) -> awk scrapers (``get_csv_all.sh``) -> CSVs -> notebook.
+Here the sweep runner emits structured records directly (CSV and JSON), with
+the same measured quantities: per-strategy execution time, correctness flag
+vs the sequential oracle, plus first-class FLOP/s and nnz/s (the notebook's
+derived metric, ``visualisation_fat_vector.ipynb`` cell 14: 2*nnz*k/t) and
+a per-chip roofline estimate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.matrix import CSR
+from ..io.generate import generate_fat_vector
+from ..parallel.mesh import make_mesh
+from ..parallel.strategies import Sequential, Strategy, get_strategy
+from ..utils.compare import are_matrices_equal, default_tolerance, max_abs_error
+from ..utils.timing import time_fn
+
+__all__ = ["BenchRecord", "run_benchmark", "sweep", "write_csv", "write_json",
+           "roofline_bytes", "roofline_seconds"]
+
+#: Approximate HBM bandwidth per chip (bytes/s) for roofline estimates.
+HBM_BANDWIDTH = {
+    "TPU v4": 1.2e12,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2.76e12,
+    "TPU v6 lite": 1.64e12,
+    "cpu": 50e9,
+}
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "cpu"
+
+
+def _hbm_bandwidth(kind: Optional[str] = None) -> float:
+    kind = kind or _device_kind()
+    for key, bw in HBM_BANDWIDTH.items():
+        if key.lower() in kind.lower():
+            return bw
+    return HBM_BANDWIDTH["cpu"]
+
+
+def roofline_bytes(nnz: int, m: int, n: int, k: int, dtype=np.float32,
+                   index_dtype=np.int32) -> int:
+    """Minimum HBM traffic for one SpMM: read values + indices + one fat-
+    vector row per nonzero (worst case, no reuse), write the output."""
+    vb = np.dtype(dtype).itemsize
+    ib = np.dtype(index_dtype).itemsize
+    return nnz * (vb + ib) + nnz * k * vb + m * k * vb
+
+
+def roofline_seconds(nnz, m, n, k, dtype=np.float32, kind=None) -> float:
+    return roofline_bytes(nnz, m, n, k, dtype) / _hbm_bandwidth(kind)
+
+
+@dataclasses.dataclass
+class BenchRecord:
+    """One (matrix, k, strategy, devices) measurement — the analog of one
+    row of ``results/cop20k_A.csv``."""
+
+    matrix: str
+    m: int
+    n: int
+    nnz: int
+    k: int
+    strategy: str
+    devices: int
+    execution_time: float          # best-of-iters kernel wall time
+    prepare_time: float            # format conversion + device placement
+    correct: Optional[bool]        # vs sequential oracle ("Results are the
+                                   # same!/different!" analog)
+    max_error: Optional[float]
+    gflops: float                  # 2*nnz*k / t (notebook cell 14 metric)
+    gnnz_per_s: float              # nnz / t
+    roofline_fraction: Optional[float]
+    dtype: str
+    device_kind: str
+    gathered: bool
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
+                  matrix_name: str = "matrix", seed: int = 0,
+                  warmup: int = 2, iters: int = 5,
+                  oracle: Optional[np.ndarray] = None,
+                  check: bool = True, gather_result: bool = True,
+                  dtype=None) -> BenchRecord:
+    """Benchmark one strategy on one matrix (one reference "job")."""
+    if mesh is None:
+        mesh = make_mesh()
+    if dtype is not None:
+        csr = csr.astype(dtype)
+    m, n = csr.shape
+    v = jnp.asarray(
+        generate_fat_vector(n, k, seed=seed), dtype=csr.values.dtype
+    )
+
+    t0 = time.perf_counter()
+    operand = strategy.prepare(csr, mesh)
+    jax.block_until_ready(jax.tree.leaves(operand))
+    prepare_time = time.perf_counter() - t0
+
+    best, out = time_fn(
+        lambda: strategy.spmm(operand, v, mesh, gather_result=gather_result),
+        warmup=warmup, iters=iters,
+    )
+
+    correct = None
+    err = None
+    if check:
+        if oracle is None:
+            seq = Sequential()
+            seq_op = seq.prepare(csr, mesh)
+            oracle = np.asarray(seq.spmm(seq_op, v, mesh))
+        err = max_abs_error(np.asarray(out), oracle)
+        tol = default_tolerance(csr.values.dtype)
+        correct = are_matrices_equal(
+            np.asarray(out), oracle, tolerance=tol,
+            relative=csr.values.dtype != np.float64,
+        )
+
+    nnz = csr.nnz
+    kind = _device_kind()
+    sol = roofline_seconds(nnz, m, n, k, csr.values.dtype, kind)
+    return BenchRecord(
+        matrix=matrix_name, m=m, n=n, nnz=nnz, k=k,
+        strategy=strategy.name, devices=int(mesh.devices.size),
+        execution_time=best, prepare_time=prepare_time,
+        correct=correct, max_error=err,
+        gflops=2.0 * nnz * k / best / 1e9,
+        gnnz_per_s=nnz / best / 1e9,
+        roofline_fraction=sol / best if best > 0 else None,
+        dtype=str(csr.values.dtype), device_kind=kind,
+        gathered=gather_result,
+    )
+
+
+def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
+          strategy_names: Sequence[str], device_counts: Sequence[int], *,
+          warmup: int = 2, iters: int = 5, check: bool = True,
+          gather_result: bool = True, dtype=None,
+          progress=None) -> List[BenchRecord]:
+    """Cartesian sweep (matrix x k x strategy x devices) — the
+    ``batch_test.sh:9-50`` analog, in-process instead of via PBS."""
+    records: List[BenchRecord] = []
+    for mat_name, csr in matrices.items():
+        for k in ks:
+            oracle = None
+            if check:
+                mesh1 = make_mesh(1)
+                seq = Sequential()
+                bench_csr = csr.astype(dtype) if dtype is not None else csr
+                v = jnp.asarray(
+                    generate_fat_vector(csr.shape[1], k, seed=0),
+                    dtype=bench_csr.values.dtype,
+                )
+                oracle = np.asarray(
+                    seq.spmm(seq.prepare(bench_csr, mesh1), v, mesh1)
+                )
+            for p in device_counts:
+                mesh = make_mesh(p)
+                for sname in strategy_names:
+                    strategy = get_strategy(sname)
+                    rec = run_benchmark(
+                        csr, k, strategy, mesh, matrix_name=mat_name,
+                        warmup=warmup, iters=iters, oracle=oracle,
+                        check=check, gather_result=gather_result,
+                        dtype=dtype,
+                    )
+                    records.append(rec)
+                    if progress:
+                        progress(rec)
+    return records
+
+
+CSV_COLUMNS = [
+    "matrix", "m", "n", "nnz", "k", "strategy", "devices",
+    "execution_time", "prepare_time", "correct", "max_error",
+    "gflops", "gnnz_per_s", "roofline_fraction", "dtype", "device_kind",
+    "gathered",
+]
+
+
+def write_csv(path: str, records: Iterable[BenchRecord]):
+    """CSV with one row per job — the ``get_csv_all.sh`` schema's measured
+    quantities, emitted directly instead of scraped from stdout."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+        w.writeheader()
+        for r in records:
+            w.writerow(r.to_dict())
+
+
+def write_json(path: str, records: Iterable[BenchRecord], **extra):
+    payload = {"records": [r.to_dict() for r in records], **extra}
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)

@@ -1,0 +1,253 @@
+"""Command-line driver — the ``main.cpp`` analog.
+
+``spmm run <matrix.mtx> --k 12`` mirrors the reference binary's behavior
+(``Source Code/main.cpp:7-409``): load the matrix, generate the deterministic
+fat vector, run the sequential baseline then every parallel strategy,
+validate each against the oracle, and report times. Output keeps the
+reference's exact phrase contracts ("<Algo> Execution time:", "Results are
+the same!/different!", ``main.cpp:80,168,186,191,...``) so the reference's
+own awk scrapers would parse it, and adds ``--json``/``--csv`` structured
+output (SURVEY.md §5 observability note).
+
+Note the reference's README documents the argument order backwards
+(``README.md:40`` vs ``main.cpp:33-34``); flags remove the ambiguity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+__all__ = ["main"]
+
+STRATEGY_LABELS = {
+    "row_wise": "Row-wise",
+    "column_wise": "Column-wise",
+    "nnz": "Non-zero Elements",
+    "library": "Library",
+}
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="spmm",
+        description="TPU-native sparse matrix x fat vector benchmark",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run strategies on one matrix "
+                                     "(the ./main <k> <matrix.mtx> analog)")
+    run.add_argument("matrix", help=".mtx path, or synthetic spec like "
+                                    "'synthetic:cop20k' / 'synthetic:cage4'")
+    run.add_argument("--k", type=int, default=12,
+                     help="fat-vector column count (reference argv[1])")
+    run.add_argument("--strategy", default="all",
+                     help="row|column|nnz|library|sequential|all")
+    run.add_argument("--devices", type=int, default=None,
+                     help="mesh size (default: all devices)")
+    run.add_argument("--dtype", default="float32",
+                     choices=["float64", "float32", "bfloat16"])
+    run.add_argument("--no-check", action="store_true",
+                     help="skip the oracle comparison")
+    run.add_argument("--no-gather", action="store_true",
+                     help="leave results sharded (the PETSc lesson)")
+    run.add_argument("--iters", type=int, default=5)
+    run.add_argument("--warmup", type=int, default=2)
+    run.add_argument("--seed", type=int, default=0)
+    run.add_argument("--json", dest="json_path", default=None,
+                     help="write records to JSON file ('-' for stdout)")
+    run.add_argument("--csv", dest="csv_path", default=None)
+
+    swp = sub.add_parser("sweep", help="matrix x k x devices sweep "
+                                       "(the batch_test.sh analog)")
+    swp.add_argument("matrices", nargs="+")
+    swp.add_argument("--k", type=int, nargs="+", default=[1, 3, 6, 9, 12],
+                     help="k values (reference sweep: 1 3 6 9 12)")
+    swp.add_argument("--devices", type=int, nargs="+", default=None)
+    swp.add_argument("--strategy", nargs="+",
+                     default=["row", "column", "nnz", "library"])
+    swp.add_argument("--dtype", default="float32")
+    swp.add_argument("--iters", type=int, default=5)
+    swp.add_argument("--csv", dest="csv_path", default="results.csv")
+    swp.add_argument("--json", dest="json_path", default=None)
+
+    info = sub.add_parser("info", help="print device/mesh information")
+    return p
+
+
+def _load_matrix(spec: str, dtype):
+    from .io import generate as gen
+    from .io.mtx import read_matrix_market
+
+    if spec.startswith("synthetic:"):
+        name = spec.split(":", 1)[1]
+        factories = {
+            "cop20k": lambda: gen.cop20k_like(),
+            "cop20k_small": lambda: gen.cop20k_like(scale=0.1),
+            "cage4": lambda: gen.cage4_like(),
+            "random": lambda: gen.random_csr(100_000, 100_000, 2_000_000),
+            "powerlaw": lambda: gen.powerlaw_csr(100_000, 100_000, 2_000_000),
+            "banded": lambda: gen.banded_csr(100_000, 100, 20),
+        }
+        if name not in factories:
+            raise SystemExit(
+                f"unknown synthetic matrix {name!r}; "
+                f"options: {sorted(factories)}"
+            )
+        csr = factories[name]()
+    else:
+        csr = read_matrix_market(spec)
+    import jax.numpy as jnp
+
+    return csr.astype(getattr(jnp, dtype))
+
+
+def _strategies(arg: str):
+    if arg == "all":
+        return ["row", "column", "nnz", "library"]
+    return [s.strip() for s in arg.split(",")]
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from .bench.harness import run_benchmark, write_csv, write_json
+    from .io.generate import generate_fat_vector
+    from .parallel import Sequential, get_strategy, make_mesh
+    from .utils.compare import are_matrices_equal, default_tolerance
+    from .utils.timing import time_fn
+
+    t0 = time.perf_counter()
+    csr = _load_matrix(args.matrix, args.dtype)
+    load_time = time.perf_counter() - t0
+    mesh = make_mesh(args.devices)
+    m, n = csr.shape
+
+    # Header block: reference main.cpp:55-64 phrase contracts.
+    print(f"World size: {mesh.devices.size}")
+    print(f"Sparse matrix: {args.matrix}")
+    print(f"Matrix size: {m}x{n}")
+    print(f"Vector size: {n}x{args.k}")
+    print(f"Non-zero elements: {csr.nnz}")
+    print(f"Load time: {load_time:.6f} s")
+
+    v = jnp.asarray(
+        generate_fat_vector(n, args.k, seed=args.seed),
+        dtype=csr.values.dtype,
+    )
+
+    # Sequential baseline (main.cpp:74-93).
+    seq = Sequential()
+    seq_op = seq.prepare(csr, mesh)
+    seq_time, seq_out = time_fn(
+        lambda: seq.spmm(seq_op, v, mesh),
+        warmup=args.warmup, iters=args.iters,
+    )
+    oracle = np.asarray(seq_out)
+    print(f"Serial Algo Execution time: {seq_time:.6f} s")
+
+    names = _strategies(args.strategy)
+    records = []
+    failures = 0
+    for name in names:
+        if name == "sequential":
+            continue
+        strategy = get_strategy(name)
+        rec = run_benchmark(
+            csr, args.k, strategy, mesh, matrix_name=args.matrix,
+            seed=args.seed, warmup=args.warmup, iters=args.iters,
+            oracle=None if args.no_check else oracle,
+            check=not args.no_check,
+            gather_result=not args.no_gather,
+        )
+        records.append(rec)
+        label = STRATEGY_LABELS.get(strategy.name, strategy.name)
+        # Reference phrase contracts: main.cpp:168,186,191 etc.
+        print(f"{label} Execution time: {rec.execution_time:.6f} s "
+              f"({rec.gnnz_per_s:.3f} Gnnz/s, {rec.gflops:.3f} GFLOP/s, "
+              f"{(rec.roofline_fraction or 0) * 100:.1f}% of roofline)")
+        if rec.correct is not None:
+            if rec.correct:
+                print(f"{label}: Results are the same!")
+            else:
+                print(f"{label}: Results are different! "
+                      f"(max error {rec.max_error:.3e}, tolerance "
+                      f"{default_tolerance(csr.values.dtype):.1e})")
+                failures += 1
+
+    if args.json_path:
+        payload = {
+            "matrix": args.matrix, "m": m, "n": n, "nnz": csr.nnz,
+            "k": args.k, "devices": int(mesh.devices.size),
+            "serial_time": seq_time,
+            "records": [r.to_dict() for r in records],
+        }
+        if args.json_path == "-":
+            print(json.dumps(payload))
+        else:
+            with open(args.json_path, "w") as f:
+                json.dump(payload, f, indent=2)
+    if args.csv_path:
+        write_csv(args.csv_path, records)
+    return 1 if failures else 0
+
+
+def cmd_sweep(args) -> int:
+    import jax
+
+    from .bench.harness import sweep, write_csv, write_json
+
+    matrices = {
+        spec: _load_matrix(spec, args.dtype) for spec in args.matrices
+    }
+    device_counts = args.devices or [len(jax.devices())]
+    records = sweep(
+        matrices, args.k, args.strategy, device_counts,
+        iters=args.iters,
+        progress=lambda r: print(
+            f"{r.matrix} k={r.k} p={r.devices} {r.strategy}: "
+            f"{r.execution_time:.6f}s "
+            f"{'ok' if r.correct else 'MISMATCH' if r.correct is not None else ''}"
+        ),
+    )
+    if args.csv_path:
+        write_csv(args.csv_path, records)
+        print(f"wrote {args.csv_path}")
+    if args.json_path:
+        write_json(args.json_path, records)
+        print(f"wrote {args.json_path}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    devs = jax.devices()
+    print(f"devices: {len(devs)}")
+    for d in devs:
+        print(f"  [{d.id}] {d.device_kind} (process {d.process_index})")
+    print(f"default backend: {jax.default_backend()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    try:
+        if args.command == "run":
+            return cmd_run(args)
+        if args.command == "sweep":
+            return cmd_sweep(args)
+        if args.command == "info":
+            return cmd_info(args)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"spmm: error: {e}", file=sys.stderr)
+        return 1
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,336 @@
+"""The reference's parallel decompositions as mesh sharding strategies.
+
+Reference -> TPU mapping (SURVEY.md §2 strategy inventory):
+
+=================  ==========================================  =====================
+Strategy           Reference realization                       Here
+=================  ==========================================  =====================
+Sequential         ``SparseMatrixFatVectorMultiply.cpp:11-31``  single-device oracle
+Row-wise           block rows + ``MPI_Gatherv``                 ELL rows sharded on
+                   (``...RowWise.cpp:26-50,85-87``)             the mesh axis; fat
+                                                                vector replicated;
+                                                                optional ``all_gather``
+Column-wise        block k-columns + ``MPI_Gatherv``            fat-vector k-columns
+                   (``...ColumnWise.cpp:25-48,82-84``)          sharded; matrix
+                                                                replicated
+Non-zero element   flat nnz ranges + ``MPI_Reduce(SUM)``        COO nnz sharded;
+                   (``...NonZeroElement.cpp:24-39,88``)         per-device segment
+                                                                sum; ``psum`` or
+                                                                ``psum_scatter``
+Library            PETSc ``MatMatMult`` (``main.cpp:345-348``)  ``jax.experimental
+                                                                .sparse`` BCOO
+=================  ==========================================  =====================
+
+Design notes
+------------
+* Operand replication, done by rank-0 ``MPI_Bcast`` in the reference
+  (``main.cpp:106-146``), is here a **sharding annotation**: ``device_put``
+  with a replicated ``NamedSharding``. There is no hand-written transport.
+* The reference's inconsistent remainder policies (row-wise gives extras to
+  the *first* ranks, ``RowWise.cpp:28-29``; column-wise to the *last* rank,
+  ``ColumnWise.cpp:28``) are replaced by padding to a multiple of the mesh
+  size — static shapes, perfect balance, one policy.
+* ``gather_result=True`` mirrors the reference's gather-to-root;
+  ``False`` leaves the result sharded — the PETSc lesson
+  (``report/425500_Report.tex:1092-1095``: PETSc wins *because* it never
+  regathers).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats.matrix import COO, CSR, ELL
+from ..ops.ell import spmm_ell
+from ..ops.library import spmm_bcoo, to_bcoo
+from ..ops.oracle import spmm_coo
+
+__all__ = [
+    "Strategy", "Sequential", "RowWise", "ColumnWise", "NonZeroElement",
+    "Library", "STRATEGIES", "get_strategy",
+]
+
+
+def _axis(mesh: Mesh) -> str:
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"strategies expect a 1-D mesh, got axes {mesh.axis_names}"
+        )
+    return mesh.axis_names[0]
+
+
+def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads)
+
+
+class Strategy(abc.ABC):
+    """A parallel SpMM execution strategy over a 1-D device mesh.
+
+    Usage::
+
+        strategy = RowWise()
+        operand = strategy.prepare(csr, mesh)   # shard/replicate the matrix
+        out = strategy.spmm(operand, v, mesh)   # jitted distributed SpMM
+    """
+
+    name: str = "abstract"
+
+    @abc.abstractmethod
+    def prepare(self, csr: CSR, mesh: Mesh):
+        """Place the matrix on the mesh (the MPI_Bcast/scatter analog)."""
+
+    @abc.abstractmethod
+    def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        """Distributed SpMM. ``v`` is an ``(n, k)`` dense fat vector."""
+
+
+class Sequential(Strategy):
+    """Single-device oracle (reference sequential kernel,
+    ``SparseMatrixFatVectorMultiply.cpp:11-31``). Also the correctness
+    baseline every other strategy is validated against
+    (``main.cpp:184,227,270`` pattern)."""
+
+    name = "sequential"
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        coo = csr.to_coo()
+        dev = mesh.devices.flat[0]
+        return jax.device_put(coo, dev)
+
+    def spmm(self, operand: COO, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        return _jit_sequential(operand, v)
+
+
+@jax.jit
+def _jit_sequential(coo: COO, v: jax.Array) -> jax.Array:
+    return spmm_coo(coo, v)
+
+
+class RowWise(Strategy):
+    """Output rows sharded over the mesh (reference
+    ``...RowWise.cpp:26-50``): each device owns an ELL row block, the fat
+    vector is replicated, and the result is optionally ``all_gather``-ed
+    (the ``MPI_Gatherv`` analog, ``RowWise.cpp:85-87``)."""
+
+    name = "row_wise"
+
+    def __init__(self, width_align: int = 8):
+        self.width_align = width_align
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        p = mesh.devices.size
+        ell = ELL.from_csr(
+            csr, row_align=8 * p, width_align=self.width_align
+        )
+        ax = _axis(mesh)
+        sharded = NamedSharding(mesh, P(ax, None))
+        return dataclasses.replace(
+            ell,
+            cols=jax.device_put(ell.cols, sharded),
+            vals=jax.device_put(ell.vals, sharded),
+        )
+
+    def spmm(self, operand: ELL, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        ax = _axis(mesh)
+        v = jax.device_put(v, NamedSharding(mesh, P(None, None)))
+        out = _rowwise_spmm(
+            mesh, ax, gather_result, operand.cols, operand.vals, v
+        )
+        return out[: operand.shape[0]]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _rowwise_spmm(mesh, ax, gather, cols, vals, v):
+    def body(cols_blk, vals_blk, v_full):
+        gathered = jnp.take(v_full, cols_blk.reshape(-1), axis=0)
+        gathered = gathered.reshape(*cols_blk.shape, v_full.shape[1])
+        out = jnp.sum(
+            vals_blk[:, :, None].astype(v_full.dtype) * gathered, axis=1
+        )
+        if gather:
+            out = jax.lax.all_gather(out, ax, tiled=True)
+        return out
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ax, None), P(ax, None), P(None, None)),
+        out_specs=P(None, None) if gather else P(ax, None),
+        check_vma=False,
+    )(cols, vals, v)
+
+
+class ColumnWise(Strategy):
+    """Fat-vector k-columns sharded (reference ``...ColumnWise.cpp:25-48``
+    — note it partitions the *output* columns, not matrix columns): every
+    device traverses the full matrix for its k-slice. Degenerates when
+    ``p > k`` exactly as the reference observes
+    (``report/425500_Report.tex:1036``); the matrix is replicated."""
+
+    name = "column_wise"
+
+    def __init__(self, width_align: int = 8):
+        self.width_align = width_align
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        ell = ELL.from_csr(csr, row_align=8, width_align=self.width_align)
+        replicated = NamedSharding(mesh, P(None, None))
+        return dataclasses.replace(
+            ell,
+            cols=jax.device_put(ell.cols, replicated),
+            vals=jax.device_put(ell.vals, replicated),
+        )
+
+    def spmm(self, operand: ELL, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        ax = _axis(mesh)
+        p = mesh.devices.size
+        k = v.shape[1]
+        v = _pad_axis(v, 1, p)
+        v = jax.device_put(v, NamedSharding(mesh, P(None, ax)))
+        out = _colwise_spmm(
+            mesh, ax, gather_result, operand.cols, operand.vals, v
+        )
+        return out[: operand.shape[0], :k]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _colwise_spmm(mesh, ax, gather, cols, vals, v):
+    def body(cols_full, vals_full, v_blk):
+        gathered = jnp.take(v_blk, cols_full.reshape(-1), axis=0)
+        gathered = gathered.reshape(*cols_full.shape, v_blk.shape[1])
+        out = jnp.sum(
+            vals_full[:, :, None].astype(v_blk.dtype) * gathered, axis=1
+        )
+        if gather:
+            out = jax.lax.all_gather(out, ax, axis=1, tiled=True)
+        return out
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None, ax)),
+        out_specs=P(None, None) if gather else P(None, ax),
+        check_vma=False,
+    )(cols, vals, v)
+
+
+class NonZeroElement(Strategy):
+    """Flat nnz-range sharding (reference ``...NonZeroElement.cpp:24-39``):
+    perfectly balanced work regardless of row-length skew. Each device
+    segment-sums its COO chunk into a full-height partial, then partials are
+    combined with ``psum`` (the ``MPI_Reduce(SUM)`` analog,
+    ``NonZeroElement.cpp:88``) or — fixing the reference's O(m*k)-regardless-
+    of-p communication defect — ``psum_scatter`` so the result lands
+    row-sharded with 1/p the traffic per link."""
+
+    name = "nnz"
+
+    def __init__(self, reduce: Literal["psum", "scatter"] = "psum"):
+        self.reduce = reduce
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        p = mesh.devices.size
+        coo = csr.to_coo()
+        coo = coo.pad_to(-(-max(coo.nnz, 1) // p) * p)
+        ax = _axis(mesh)
+        sharded = NamedSharding(mesh, P(ax))
+        return dataclasses.replace(
+            coo,
+            values=jax.device_put(coo.values, sharded),
+            row_indices=jax.device_put(coo.row_indices, sharded),
+            col_indices=jax.device_put(coo.col_indices, sharded),
+        )
+
+    def spmm(self, operand: COO, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        ax = _axis(mesh)
+        p = mesh.devices.size
+        m = operand.shape[0]
+        m_padded = -(-m // p) * p
+        v = jax.device_put(v, NamedSharding(mesh, P(None, None)))
+        scatter = self.reduce == "scatter" and not gather_result
+        out = _nnz_spmm(
+            mesh, ax, m_padded, scatter,
+            operand.values, operand.row_indices, operand.col_indices, v,
+        )
+        return out[:m]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _nnz_spmm(mesh, ax, m_padded, scatter, values, rows, cols, v):
+    def body(values_blk, rows_blk, cols_blk, v_full):
+        gathered = jnp.take(v_full, cols_blk, axis=0)
+        prods = values_blk[:, None].astype(v_full.dtype) * gathered
+        partial_out = jax.ops.segment_sum(
+            prods, rows_blk, num_segments=m_padded, indices_are_sorted=False
+        )
+        if scatter:
+            return jax.lax.psum_scatter(partial_out, ax, tiled=True)
+        return jax.lax.psum(partial_out, ax)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(None, None)),
+        out_specs=P(ax, None) if scatter else P(None, None),
+        check_vma=False,
+    )(values, rows, cols, v)
+
+
+class Library(Strategy):
+    """Vendor-library yardstick — ``jax.experimental.sparse`` BCOO under
+    plain ``jit``, the PETSc ``MatMatMult`` analog (``main.cpp:345-348``).
+    XLA chooses the partitioning; like PETSc, the result stays wherever the
+    library puts it."""
+
+    name = "library"
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        return to_bcoo(csr)
+
+    def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        return _jit_library(operand, v)
+
+
+@jax.jit
+def _jit_library(bcoo, v):
+    return spmm_bcoo(bcoo, v)
+
+
+STRATEGIES = {
+    "sequential": Sequential,
+    "row": RowWise,
+    "row_wise": RowWise,
+    "column": ColumnWise,
+    "column_wise": ColumnWise,
+    "nnz": NonZeroElement,
+    "non_zero_element": NonZeroElement,
+    "library": Library,
+}
+
+
+def get_strategy(name: str, **kwargs) -> Strategy:
+    try:
+        return STRATEGIES[name](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown strategy {name!r}; available: {sorted(set(STRATEGIES))}"
+        ) from None

@@ -1,0 +1,95 @@
+"""Benchmark-harness and CLI tests (smoke + schema)."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from sparsematrixmultiplicationmpi_tpu.bench.harness import (
+    CSV_COLUMNS, roofline_bytes, run_benchmark, sweep, write_csv, write_json,
+)
+from sparsematrixmultiplicationmpi_tpu.cli import main as cli_main
+from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+from sparsematrixmultiplicationmpi_tpu.io.mtx import write_matrix_market
+from sparsematrixmultiplicationmpi_tpu.parallel import RowWise, make_mesh
+
+
+def test_run_benchmark_record():
+    csr = random_csr(64, 64, 400, seed=51)
+    mesh = make_mesh(4)
+    rec = run_benchmark(
+        csr, 6, RowWise(), mesh, matrix_name="t", warmup=1, iters=2
+    )
+    assert rec.correct is True
+    assert rec.execution_time > 0
+    assert rec.gflops == pytest.approx(
+        2 * csr.nnz * 6 / rec.execution_time / 1e9
+    )
+    assert rec.devices == 4
+    assert rec.m == 64 and rec.nnz == csr.nnz
+
+
+def test_sweep_and_writers(tmp_path):
+    mats = {"a": random_csr(40, 40, 200, seed=52),
+            "b": random_csr(30, 50, 150, seed=53)}
+    records = sweep(mats, ks=[1, 4], strategy_names=["row", "nnz"],
+                    device_counts=[1, 2], warmup=1, iters=1)
+    assert len(records) == 2 * 2 * 2 * 2
+    assert all(r.correct for r in records)
+
+    csv_path = tmp_path / "out.csv"
+    write_csv(str(csv_path), records)
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(records)
+    assert set(rows[0].keys()) == set(CSV_COLUMNS)
+
+    json_path = tmp_path / "out.json"
+    write_json(str(json_path), records, note="test")
+    payload = json.loads(json_path.read_text())
+    assert payload["note"] == "test"
+    assert len(payload["records"]) == len(records)
+
+
+def test_roofline_bytes():
+    b = roofline_bytes(nnz=1000, m=100, n=100, k=8, dtype=np.float32)
+    assert b == 1000 * 8 + 1000 * 8 * 4 + 100 * 8 * 4
+
+
+def test_cli_run(tmp_path, capsys):
+    csr = random_csr(50, 50, 300, seed=54)
+    path = tmp_path / "m.mtx"
+    write_matrix_market(str(path), csr)
+    rc = cli_main([
+        "run", str(path), "--k", "4", "--dtype", "float64",
+        "--iters", "1", "--warmup", "1",
+        "--json", str(tmp_path / "r.json"), "--csv", str(tmp_path / "r.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # Reference phrase contracts (main.cpp:55-64,80,168,186).
+    assert "World size:" in out
+    assert "Matrix size: 50x50" in out
+    assert "Serial Algo Execution time:" in out
+    assert "Row-wise Execution time:" in out
+    assert "Row-wise: Results are the same!" in out
+    assert "Non-zero Elements: Results are the same!" in out
+    payload = json.loads((tmp_path / "r.json").read_text())
+    assert payload["nnz"] == csr.nnz
+    assert len(payload["records"]) == 4
+
+
+def test_cli_run_synthetic(capsys):
+    rc = cli_main([
+        "run", "synthetic:cage4", "--k", "3", "--dtype", "float64",
+        "--iters", "1", "--warmup", "1", "--strategy", "row,nnz",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Results are the same!" in out
+
+
+def test_cli_info(capsys):
+    assert cli_main(["info"]) == 0
+    assert "devices: " in capsys.readouterr().out
