@@ -25,9 +25,9 @@ import numpy as np
 from ..formats.matrix import CSR
 from ..io.generate import generate_fat_vector
 from ..parallel.mesh import make_mesh
-from ..parallel.strategies import Sequential, Strategy, get_strategy
+from ..parallel.strategies import Auto, Sequential, Strategy, get_strategy
 from ..utils.compare import are_matrices_equal, default_tolerance, max_abs_error
-from ..utils.timing import time_fn
+from ..utils.timing import time_fn, time_fn_amortized
 
 __all__ = ["BenchRecord", "run_benchmark", "sweep", "write_csv", "write_json",
            "roofline_bytes", "roofline_seconds"]
@@ -104,8 +104,17 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
                   warmup: int = 2, iters: int = 5,
                   oracle: Optional[np.ndarray] = None,
                   check: bool = True, gather_result: bool = True,
-                  dtype=None) -> BenchRecord:
-    """Benchmark one strategy on one matrix (one reference "job")."""
+                  dtype=None, amortized: bool = False,
+                  inner: int = 10) -> BenchRecord:
+    """Benchmark one strategy on one matrix (one reference "job").
+
+    ``amortized=True`` measures steady-state per-iteration time by chaining
+    ``inner`` dependent SpMMs inside one compiled program — what a
+    production pipeline (solver/GNN step) sees — instead of timing single
+    dispatches, whose latency is dominated by runtime/link overhead on a
+    remote accelerator (~25 ms on the tunneled v5e used for development,
+    vs ~4 ms of actual kernel time).
+    """
     if mesh is None:
         mesh = make_mesh()
     if dtype is not None:
@@ -120,18 +129,31 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
     jax.block_until_ready(jax.tree.leaves(operand))
     prepare_time = time.perf_counter() - t0
 
-    best, out = time_fn(
-        lambda: strategy.spmm(operand, v, mesh, gather_result=gather_result),
-        warmup=warmup, iters=iters,
-    )
+    if amortized:
+        # The operand travels as a jit *argument* (not a closure constant:
+        # host-resident leaves would be baked into the HLO).
+        best, out = time_fn_amortized(
+            lambda vv, op: strategy.spmm(
+                op, vv, mesh, gather_result=gather_result
+            ),
+            v, operand, inner=inner, warmup=warmup, iters=iters,
+        )
+        out = jax.block_until_ready(out)
+    else:
+        best, out = time_fn(
+            lambda: strategy.spmm(
+                operand, v, mesh, gather_result=gather_result
+            ),
+            warmup=warmup, iters=iters,
+        )
 
     correct = None
     err = None
     if check:
         if oracle is None:
-            seq = Sequential()
-            seq_op = seq.prepare(csr, mesh)
-            oracle = np.asarray(seq.spmm(seq_op, v, mesh))
+            from ..ops.oracle import spmm_host_f64
+
+            oracle = spmm_host_f64(csr, v)  # device-independent f64 truth
         err = max_abs_error(np.asarray(out), oracle)
         tol = default_tolerance(csr.values.dtype)
         correct = are_matrices_equal(
@@ -167,15 +189,10 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
         for k in ks:
             oracle = None
             if check:
-                mesh1 = make_mesh(1)
-                seq = Sequential()
-                bench_csr = csr.astype(dtype) if dtype is not None else csr
-                v = jnp.asarray(
-                    generate_fat_vector(csr.shape[1], k, seed=0),
-                    dtype=bench_csr.values.dtype,
-                )
-                oracle = np.asarray(
-                    seq.spmm(seq.prepare(bench_csr, mesh1), v, mesh1)
+                from ..ops.oracle import spmm_host_f64
+
+                oracle = spmm_host_f64(
+                    csr, generate_fat_vector(csr.shape[1], k, seed=0)
                 )
             for p in device_counts:
                 mesh = make_mesh(p)

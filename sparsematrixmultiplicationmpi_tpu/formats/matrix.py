@@ -43,6 +43,17 @@ def _static_field():
     return dataclasses.field(metadata={"static": True})
 
 
+def _host_array(x, dtype=None):
+    """Keep format construction on the host: numpy arrays are valid pytree
+    leaves and transfer to device lazily (at device_put/jit call time).
+    Eager ``jnp.asarray`` here would round-trip every preprocessing step
+    through the accelerator — catastrophic over a remote-TPU link. Device
+    arrays passed in are left where they are."""
+    if isinstance(x, jax.Array):
+        return x.astype(dtype) if dtype is not None and x.dtype != dtype else x
+    return np.asarray(x, dtype=dtype)
+
+
 def _register(cls):
     data_fields = [
         f.name for f in dataclasses.fields(cls) if not f.metadata.get("static")
@@ -86,9 +97,9 @@ class CSR:
     @classmethod
     def from_arrays(cls, values, col_indices, row_ptr, shape) -> "CSR":
         return cls(
-            values=jnp.asarray(values),
-            col_indices=jnp.asarray(col_indices, dtype=jnp.int32),
-            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            values=_host_array(values),
+            col_indices=_host_array(col_indices, np.int32),
+            row_ptr=_host_array(row_ptr, np.int32),
             shape=(int(shape[0]), int(shape[1])),
         )
 
@@ -117,7 +128,7 @@ class CSR:
         rows = np.repeat(np.arange(m, dtype=np.int32), counts)
         return COO(
             values=self.values,
-            row_indices=jnp.asarray(rows),
+            row_indices=_host_array(rows, np.int32),
             col_indices=self.col_indices,
             shape=self.shape,
         )
@@ -156,9 +167,9 @@ class COO:
     @classmethod
     def from_arrays(cls, values, row_indices, col_indices, shape) -> "COO":
         return cls(
-            values=jnp.asarray(values),
-            row_indices=jnp.asarray(row_indices, dtype=jnp.int32),
-            col_indices=jnp.asarray(col_indices, dtype=jnp.int32),
+            values=_host_array(values),
+            row_indices=_host_array(row_indices, np.int32),
+            col_indices=_host_array(col_indices, np.int32),
             shape=(int(shape[0]), int(shape[1])),
         )
 
@@ -186,12 +197,13 @@ class COO:
             raise ValueError(f"nnz_padded={nnz_padded} < nnz={self.nnz}")
         if pad == 0:
             return self
-        z = jnp.zeros((pad,), dtype=self.values.dtype)
-        zi = jnp.zeros((pad,), dtype=jnp.int32)
+        xp = np if isinstance(self.values, np.ndarray) else jnp
+        z = xp.zeros((pad,), dtype=self.values.dtype)
+        zi = xp.zeros((pad,), dtype=np.int32)
         return COO(
-            values=jnp.concatenate([self.values, z]),
-            row_indices=jnp.concatenate([self.row_indices, zi]),
-            col_indices=jnp.concatenate([self.col_indices, zi]),
+            values=xp.concatenate([self.values, z]),
+            row_indices=xp.concatenate([self.row_indices, zi]),
+            col_indices=xp.concatenate([self.col_indices, zi]),
             shape=self.shape,
         )
 
@@ -252,7 +264,7 @@ class ELL:
         offsets = np.arange(len(src_cols)) - np.repeat(row_ptr[:-1], lengths)
         cols[rows, offsets] = src_cols
         vals[rows, offsets] = src_vals
-        return cls(cols=jnp.asarray(cols), vals=jnp.asarray(vals), shape=(m, n))
+        return cls(cols=cols, vals=vals, shape=(m, n))
 
     def to_dense(self) -> jax.Array:
         m, n = self.shape
@@ -292,20 +304,22 @@ class BucketedELL:
         )
 
     @classmethod
-    def from_csr(cls, csr: CSR, max_buckets: int = 4, row_align: int = 8,
+    def from_csr(cls, csr: CSR, max_buckets: int = 10, row_align: int = 8,
                  width_align: int = 8) -> "BucketedELL":
         m, n = csr.shape
         lengths = csr.row_lengths()
         if m == 0:
             raise ValueError("empty matrix")
-        # Bucket edges: geometric in row length. Rows with nnz in
-        # (edge[i-1], edge[i]] go to bucket i.
+        # Bucket edges: geometric (x2) in row length. Rows with nnz in
+        # (edge[i-1], edge[i]] go to bucket i. Finer buckets bound the ELL
+        # padding blow-up (pad factor <= 2 within a bucket), which directly
+        # bounds wasted gather traffic — the dominant cost on TPU.
         max_len = max(int(lengths.max()), 1)
         edges = []
         w = width_align
         while w < max_len and len(edges) < max_buckets - 1:
             edges.append(w)
-            w *= 8
+            w *= 2
         edges.append(max(-(-max_len // width_align) * width_align, width_align))
 
         order = np.argsort(lengths, kind="stable")
@@ -338,8 +352,8 @@ class BucketedELL:
         inv_row_perm[row_perm[real]] = np.nonzero(real)[0].astype(np.int32)
         return cls(
             buckets=tuple(buckets),
-            row_perm=jnp.asarray(row_perm),
-            inv_row_perm=jnp.asarray(inv_row_perm),
+            row_perm=row_perm,
+            inv_row_perm=inv_row_perm,
             shape=(m, n),
         )
 

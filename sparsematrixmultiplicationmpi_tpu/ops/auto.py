@@ -1,0 +1,46 @@
+"""Automatic format/kernel selection.
+
+The reference makes the user pick a strategy per run (``./main`` runs all
+four and prints a comparison). A TPU framework can decide from the matrix's
+structure: banded/FEM matrices take the MXU band-dense path, skewed or
+scattered matrices take the bucketed-ELL gather path.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+
+from ..formats.banded import BandedBlocks
+from ..formats.matrix import BucketedELL, CSR
+from .banded import spmm_banded
+from .ell import spmm_bucketed
+
+__all__ = ["auto_format", "spmm_any", "spmm"]
+
+AutoFormat = Union[BandedBlocks, BucketedELL]
+
+
+def auto_format(csr: CSR, **banded_kwargs) -> AutoFormat:
+    """Pick the fastest storage for this matrix's structure: band-dense
+    when the diagonal band covers enough nnz to beat the gather path,
+    bucketed ELL otherwise."""
+    bb = BandedBlocks.from_csr(csr, **banded_kwargs)
+    if bb is not None:
+        return bb
+    return BucketedELL.from_csr(csr)
+
+
+def spmm_any(operand: AutoFormat, v: jax.Array) -> jax.Array:
+    """Dispatch SpMM on the operand's format (trace-time, zero overhead)."""
+    if isinstance(operand, BandedBlocks):
+        return spmm_banded(operand, v)
+    if isinstance(operand, BucketedELL):
+        return spmm_bucketed(operand, v)
+    raise TypeError(f"unsupported operand format: {type(operand)}")
+
+
+def spmm(csr: CSR, v: jax.Array) -> jax.Array:
+    """One-shot convenience: auto-format then multiply."""
+    return spmm_any(auto_format(csr), v)

@@ -48,3 +48,26 @@ def spmm_dense(matrix, v: jax.Array) -> jax.Array:
     """Densify-and-matmul oracle — only for small test matrices."""
     dense = matrix.to_dense().astype(v.dtype)
     return jnp.dot(dense, v, preferred_element_type=v.dtype)
+
+
+def spmm_host_f64(csr: CSR, v) -> "np.ndarray":
+    """Host-side float64 oracle (numpy, no device involved).
+
+    The device-independent ground truth for correctness checks: the
+    reference's sequential kernel ran in f64 on the host too
+    (``SparseMatrixFatVectorMultiply.cpp:11-31``), so TPU kernels running
+    f32/bf16 are compared against this with a dtype-aware tolerance.
+    Row sums via exclusive-cumsum differencing — vectorized and robust to
+    empty rows.
+    """
+    import numpy as np
+
+    vals = np.asarray(csr.values, dtype=np.float64)
+    cols = np.asarray(csr.col_indices)
+    row_ptr = np.asarray(csr.row_ptr).astype(np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    prods = vals[:, None] * v[cols]
+    csum = np.concatenate(
+        [np.zeros((1, v.shape[1])), np.cumsum(prods, axis=0)], axis=0
+    )
+    return csum[row_ptr[1:]] - csum[row_ptr[:-1]]

