@@ -106,11 +106,13 @@ def expand_and_build_csr(rows, cols, values, m, n, symmetric, dtype=None) -> CSR
         values = np.concatenate([values, mirror_vals])
     if len(rows) and (rows.min() < 0 or rows.max() >= m or cols.min() < 0 or cols.max() >= n):
         raise ValueError("matrix entry index out of bounds")
-    order = np.lexsort((cols, rows))
+    # Sort by (row, col) via a combined int64 key — ~3x faster than lexsort
+    # for multi-million-nnz matrices and exact while m*n < 2^63.
+    order = np.argsort(rows * np.int64(n) + cols, kind="stable")
     rows, cols, values = rows[order], cols[order], values[order]
-    row_ptr = np.zeros(m + 1, dtype=np.int64)
-    np.add.at(row_ptr, rows + 1, 1)
-    row_ptr = np.cumsum(row_ptr).astype(np.int32)
+    row_ptr = np.cumsum(
+        np.bincount(rows + 1, minlength=m + 1)[: m + 1]
+    ).astype(np.int32)
     if dtype is not None:
         values = values.astype(dtype)
     return CSR.from_arrays(values, cols.astype(np.int32), row_ptr, (m, n))
