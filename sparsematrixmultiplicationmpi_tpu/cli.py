@@ -27,6 +27,8 @@ STRATEGY_LABELS = {
     "column_wise": "Column-wise",
     "nnz": "Non-zero Elements",
     "library": "Library",
+    "auto": "Auto",
+    "banded_row_wise": "Banded Row-wise",
 }
 
 
@@ -106,7 +108,9 @@ def _load_matrix(spec: str, dtype):
 
 def _strategies(arg: str):
     if arg == "all":
-        return ["row", "column", "nnz", "library"]
+        # The reference's four (main.cpp runs row/column/nnz + PETSc)
+        # plus this framework's structure-adaptive paths.
+        return ["row", "column", "nnz", "library", "auto"]
     return [s.strip() for s in arg.split(",")]
 
 

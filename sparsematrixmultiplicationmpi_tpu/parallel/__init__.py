@@ -3,9 +3,10 @@ from .strategies import (
     STRATEGIES, Auto, ColumnWise, Library, NonZeroElement, RowWise,
     Sequential, Strategy, get_strategy,
 )
+from .banded_strategy import BandedRowWise
 
 __all__ = [
     "AXIS", "initialize_distributed", "make_mesh", "make_mesh_2d",
-    "STRATEGIES", "Auto", "ColumnWise", "Library", "NonZeroElement",
-    "RowWise", "Sequential", "Strategy", "get_strategy",
+    "STRATEGIES", "Auto", "BandedRowWise", "ColumnWise", "Library",
+    "NonZeroElement", "RowWise", "Sequential", "Strategy", "get_strategy",
 ]

@@ -77,7 +77,7 @@ def test_cli_run(tmp_path, capsys):
     assert "Non-zero Elements: Results are the same!" in out
     payload = json.loads((tmp_path / "r.json").read_text())
     assert payload["nnz"] == csr.nnz
-    assert len(payload["records"]) == 4
+    assert len(payload["records"]) == 5  # row, column, nnz, library, auto
 
 
 def test_cli_run_synthetic(capsys):
