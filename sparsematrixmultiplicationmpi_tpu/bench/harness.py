@@ -94,6 +94,9 @@ class BenchRecord:
     dtype: str
     device_kind: str
     gathered: bool
+    comp_time: Optional[float] = None  # result-left-sharded time
+    comm_time: Optional[float] = None  # gather-collective estimate
+                                       # (results_debug.csv analog)
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -105,7 +108,7 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
                   oracle: Optional[np.ndarray] = None,
                   check: bool = True, gather_result: bool = True,
                   dtype=None, amortized: bool = False,
-                  inner: int = 10) -> BenchRecord:
+                  inner: int = 10, comm_split: bool = False) -> BenchRecord:
     """Benchmark one strategy on one matrix (one reference "job").
 
     ``amortized=True`` measures steady-state per-iteration time by chaining
@@ -161,6 +164,15 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
             relative=csr.values.dtype != np.float64,
         )
 
+    comp_time = comm_time = None
+    if comm_split:
+        from ..utils.profiling import comm_comp_split
+
+        _, comp_time, comm_time = comm_comp_split(
+            strategy, operand, v, mesh, inner=inner,
+            warmup=warmup, iters=iters,
+        )
+
     nnz = csr.nnz
     kind = _device_kind()
     sol = roofline_seconds(nnz, m, n, k, csr.values.dtype, kind)
@@ -174,14 +186,15 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
         roofline_fraction=sol / best if best > 0 else None,
         dtype=str(csr.values.dtype), device_kind=kind,
         gathered=gather_result,
+        comp_time=comp_time, comm_time=comm_time,
     )
 
 
 def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           strategy_names: Sequence[str], device_counts: Sequence[int], *,
           warmup: int = 2, iters: int = 5, check: bool = True,
-          gather_result: bool = True, dtype=None,
-          progress=None) -> List[BenchRecord]:
+          gather_result: bool = True, dtype=None, amortized: bool = False,
+          comm_split: bool = False, progress=None) -> List[BenchRecord]:
     """Cartesian sweep (matrix x k x strategy x devices) — the
     ``batch_test.sh:9-50`` analog, in-process instead of via PBS."""
     records: List[BenchRecord] = []
@@ -202,7 +215,8 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                         csr, k, strategy, mesh, matrix_name=mat_name,
                         warmup=warmup, iters=iters, oracle=oracle,
                         check=check, gather_result=gather_result,
-                        dtype=dtype,
+                        dtype=dtype, amortized=amortized,
+                        comm_split=comm_split,
                     )
                     records.append(rec)
                     if progress:
@@ -214,7 +228,7 @@ CSV_COLUMNS = [
     "matrix", "m", "n", "nnz", "k", "strategy", "devices",
     "execution_time", "prepare_time", "correct", "max_error",
     "gflops", "gnnz_per_s", "roofline_fraction", "dtype", "device_kind",
-    "gathered",
+    "gathered", "comp_time", "comm_time",
 ]
 
 

@@ -74,6 +74,12 @@ def _build_parser():
     swp.add_argument("--iters", type=int, default=5)
     swp.add_argument("--csv", dest="csv_path", default="results.csv")
     swp.add_argument("--json", dest="json_path", default=None)
+    swp.add_argument("--plots", dest="plots_dir", default=None,
+                     help="render figure set to this directory")
+    swp.add_argument("--amortized", action="store_true",
+                     help="steady-state per-iteration timing")
+    swp.add_argument("--comm-split", action="store_true",
+                     help="also measure compute vs gather-collective split")
 
     info = sub.add_parser("info", help="print device/mesh information")
     return p
@@ -211,7 +217,8 @@ def cmd_sweep(args) -> int:
     device_counts = args.devices or [len(jax.devices())]
     records = sweep(
         matrices, args.k, args.strategy, device_counts,
-        iters=args.iters,
+        iters=args.iters, amortized=args.amortized,
+        comm_split=args.comm_split,
         progress=lambda r: print(
             f"{r.matrix} k={r.k} p={r.devices} {r.strategy}: "
             f"{r.execution_time:.6f}s "
@@ -224,6 +231,11 @@ def cmd_sweep(args) -> int:
     if args.json_path:
         write_json(args.json_path, records)
         print(f"wrote {args.json_path}")
+    if args.plots_dir:
+        from .bench.plots import render_all
+
+        paths = render_all(records, args.plots_dir)
+        print(f"wrote {len(paths)} figures to {args.plots_dir}")
     return 0
 
 

@@ -1,0 +1,62 @@
+"""Profiling, comm/comp split, and plotting tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from sparsematrixmultiplicationmpi_tpu.bench.harness import run_benchmark, sweep
+from sparsematrixmultiplicationmpi_tpu.bench.plots import render_all
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    generate_fat_vector, random_csr,
+)
+from sparsematrixmultiplicationmpi_tpu.parallel import RowWise, make_mesh
+from sparsematrixmultiplicationmpi_tpu.utils.profiling import (
+    annotate, comm_comp_split, trace,
+)
+
+
+def test_comm_comp_split():
+    csr = random_csr(80, 80, 600, seed=121)
+    mesh = make_mesh(4)
+    strat = RowWise()
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(generate_fat_vector(80, 4, seed=122))
+    total, comp, comm = comm_comp_split(
+        strat, operand, v, mesh, inner=3, warmup=1, iters=1
+    )
+    assert total > 0 and comp > 0 and comm >= 0
+
+
+def test_run_benchmark_comm_split_fields():
+    csr = random_csr(64, 64, 400, seed=123)
+    mesh = make_mesh(2)
+    rec = run_benchmark(
+        csr, 4, RowWise(), mesh, warmup=1, iters=1, comm_split=True,
+        inner=3,
+    )
+    assert rec.comp_time is not None and rec.comm_time is not None
+
+
+def test_trace_and_annotate(tmp_path):
+    log_dir = str(tmp_path / "prof")
+    with trace(log_dir):
+        with annotate("phase-x"):
+            jnp.ones((16, 16)).sum().block_until_ready()
+    # A trace directory with at least one event file must exist.
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found.extend(files)
+    assert found, "profiler produced no trace files"
+
+
+def test_render_all_plots(tmp_path):
+    mats = {"a": random_csr(40, 40, 200, seed=124),
+            "b": random_csr(40, 40, 250, seed=125)}
+    records = sweep(mats, ks=[2, 4], strategy_names=["row", "nnz"],
+                    device_counts=[1, 2], warmup=1, iters=1)
+    out = str(tmp_path / "figs")
+    paths = render_all(records, out)
+    assert len(paths) >= 5
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
