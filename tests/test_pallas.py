@@ -1,0 +1,53 @@
+"""Pallas band kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsematrixmultiplicationmpi_tpu.formats.banded import BandedBlocks
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    banded_csr, generate_fat_vector, random_csr,
+)
+from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+from sparsematrixmultiplicationmpi_tpu.ops.pallas_banded import (
+    spmm_banded_pallas,
+)
+
+
+@pytest.mark.parametrize("k", [1, 8, 32])
+def test_pallas_band_matches_oracle(k):
+    csr = banded_csr(300, 7, 5, seed=131).astype(jnp.float32)
+    bb = BandedBlocks.from_csr(csr, block_rows=8)
+    v = jnp.asarray(generate_fat_vector(300, k, seed=132), jnp.float32)
+    out = np.asarray(spmm_banded_pallas(bb, v, interpret=True))
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
+    assert rel < 1e-4
+
+
+def test_pallas_band_with_spill():
+    b = banded_csr(200, 4, 3, seed=133)
+    r = random_csr(200, 200, 250, seed=134)
+    from sparsematrixmultiplicationmpi_tpu import CSR
+
+    csr = CSR.from_dense(
+        np.asarray(b.to_dense()) + np.asarray(r.to_dense())
+    ).astype(jnp.float32)
+    bb = BandedBlocks.from_csr(csr, block_rows=8)
+    assert bb.spill is not None
+    v = jnp.asarray(generate_fat_vector(200, 5, seed=135), jnp.float32)
+    out = np.asarray(spmm_banded_pallas(bb, v, interpret=True))
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
+    assert rel < 1e-4
+
+
+def test_pallas_band_odd_rows():
+    csr = banded_csr(101, 3, 2, seed=136).astype(jnp.float32)
+    bb = BandedBlocks.from_csr(csr, block_rows=8)
+    v = jnp.asarray(generate_fat_vector(101, 3, seed=137), jnp.float32)
+    out = np.asarray(spmm_banded_pallas(bb, v, interpret=True))
+    assert out.shape == (101, 3)
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
+    assert rel < 1e-4
