@@ -32,9 +32,28 @@ def auto_format(csr: CSR, **banded_kwargs) -> AutoFormat:
     return BucketedELL.from_csr(csr)
 
 
-def spmm_any(operand: AutoFormat, v: jax.Array) -> jax.Array:
-    """Dispatch SpMM on the operand's format (trace-time, zero overhead)."""
+def _on_accelerator() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def spmm_any(operand: AutoFormat, v: jax.Array,
+             use_pallas: bool | None = None) -> jax.Array:
+    """Dispatch SpMM on the operand's format (trace-time, zero overhead).
+
+    ``use_pallas=None`` auto-selects: the fused Pallas band kernel on TPU
+    (measured slightly ahead of the XLA einsum at block_rows>=256), the
+    XLA path on CPU (where Pallas would need interpret mode).
+    """
     if isinstance(operand, BandedBlocks):
+        if use_pallas is None:
+            use_pallas = _on_accelerator() and operand.block_rows >= 256
+        if use_pallas:
+            from .pallas_banded import spmm_banded_pallas
+
+            return spmm_banded_pallas(operand, v)
         return spmm_banded(operand, v)
     if isinstance(operand, BucketedELL):
         return spmm_bucketed(operand, v)
