@@ -4,9 +4,11 @@ from .strategies import (
     Sequential, Strategy, get_strategy,
 )
 from .banded_strategy import BandedRowWise
+from .grid2d import Grid2D
 
 __all__ = [
     "AXIS", "initialize_distributed", "make_mesh", "make_mesh_2d",
-    "STRATEGIES", "Auto", "BandedRowWise", "ColumnWise", "Library",
-    "NonZeroElement", "RowWise", "Sequential", "Strategy", "get_strategy",
+    "STRATEGIES", "Auto", "BandedRowWise", "ColumnWise", "Grid2D",
+    "Library", "NonZeroElement", "RowWise", "Sequential", "Strategy",
+    "get_strategy",
 ]
