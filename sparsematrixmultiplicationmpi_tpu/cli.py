@@ -82,6 +82,25 @@ def _build_parser():
                      help="also measure compute vs gather-collective split")
 
     info = sub.add_parser("info", help="print device/mesh information")
+
+    conv = sub.add_parser(
+        "convert",
+        help="convert .mtx to a compute-ready saved format (.npz)",
+    )
+    conv.add_argument("input", help=".mtx path or synthetic spec")
+    conv.add_argument("output", help="output .npz path")
+    conv.add_argument("--format", default="auto",
+                      choices=["auto", "csr", "coo", "bucketed", "banded"])
+    conv.add_argument("--block-rows", type=int, default=None)
+    conv.add_argument("--dtype", default="float32")
+    conv.add_argument("--rcm", action="store_true",
+                      help="apply RCM bandwidth-reducing reordering first")
+
+    ro = sub.add_parser(
+        "reorder", help="RCM-reorder a matrix and write it back as .mtx"
+    )
+    ro.add_argument("input")
+    ro.add_argument("output")
     return p
 
 
@@ -105,6 +124,16 @@ def _load_matrix(spec: str, dtype):
                 f"options: {sorted(factories)}"
             )
         csr = factories[name]()
+    elif spec.endswith(".npz"):
+        from .formats.matrix import CSR
+        from .formats.serialize import load_format
+
+        csr = load_format(spec)
+        if not isinstance(csr, CSR):
+            raise ValueError(
+                f"{spec} holds a {type(csr).__name__}, expected CSR; "
+                "prepared formats are for direct API use"
+            )
     else:
         csr = read_matrix_market(spec)
     import jax.numpy as jnp
@@ -239,6 +268,63 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    import time as _time
+
+    from .formats.serialize import save_format
+
+    csr = _load_matrix(args.input, args.dtype)
+    if args.rcm:
+        from .formats.reorder import (
+            apply_symmetric_permutation, bandwidth, rcm_ordering,
+        )
+
+        bw0 = bandwidth(csr)
+        csr = apply_symmetric_permutation(csr, rcm_ordering(csr))
+        print(f"RCM: bandwidth {bw0} -> {bandwidth(csr)}")
+    t0 = _time.perf_counter()
+    if args.format == "csr":
+        obj = csr
+    elif args.format == "coo":
+        obj = csr.to_coo()
+    elif args.format == "bucketed":
+        from .formats.matrix import BucketedELL
+
+        obj = BucketedELL.from_csr(csr)
+    elif args.format == "banded":
+        from .formats.banded import BandedBlocks
+
+        obj = BandedBlocks.from_csr(csr, block_rows=args.block_rows)
+        if obj is None:
+            raise ValueError(
+                "matrix has no profitable band structure; use "
+                "--format bucketed (or --rcm to reorder first)"
+            )
+    else:
+        from .ops.auto import auto_format
+
+        obj = auto_format(csr)
+    build = _time.perf_counter() - t0
+    save_format(args.output, obj)
+    print(f"{args.input} -> {args.output} "
+          f"[{type(obj).__name__}, built in {build:.2f} s]")
+    return 0
+
+
+def cmd_reorder(args) -> int:
+    from .formats.reorder import (
+        apply_symmetric_permutation, bandwidth, rcm_ordering,
+    )
+    from .io.mtx import write_matrix_market
+
+    csr = _load_matrix(args.input, "float64")
+    bw0 = bandwidth(csr)
+    csr = apply_symmetric_permutation(csr, rcm_ordering(csr))
+    write_matrix_market(args.output, csr, comment="RCM-reordered")
+    print(f"bandwidth {bw0} -> {bandwidth(csr)}; wrote {args.output}")
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -259,6 +345,10 @@ def main(argv=None) -> int:
             return cmd_sweep(args)
         if args.command == "info":
             return cmd_info(args)
+        if args.command == "convert":
+            return cmd_convert(args)
+        if args.command == "reorder":
+            return cmd_reorder(args)
     except (FileNotFoundError, ValueError) as e:
         print(f"spmm: error: {e}", file=sys.stderr)
         return 1
