@@ -194,34 +194,97 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           strategy_names: Sequence[str], device_counts: Sequence[int], *,
           warmup: int = 2, iters: int = 5, check: bool = True,
           gather_result: bool = True, dtype=None, amortized: bool = False,
-          comm_split: bool = False, progress=None) -> List[BenchRecord]:
+          comm_split: bool = False, progress=None,
+          resume_from: Optional[str] = None,
+          checkpoint_csv: Optional[str] = None,
+          on_error: str = "record") -> List[BenchRecord]:
     """Cartesian sweep (matrix x k x strategy x devices) — the
-    ``batch_test.sh:9-50`` analog, in-process instead of via PBS."""
-    records: List[BenchRecord] = []
-    for mat_name, csr in matrices.items():
-        for k in ks:
-            oracle = None
-            if check:
-                from ..ops.oracle import spmm_host_f64
+    ``batch_test.sh:9-50`` analog, in-process instead of via PBS.
 
-                oracle = spmm_host_f64(
-                    csr, generate_fat_vector(csr.shape[1], k, seed=0)
-                )
-            for p in device_counts:
-                mesh = make_mesh(p)
-                for sname in strategy_names:
-                    strategy = get_strategy(sname)
-                    rec = run_benchmark(
-                        csr, k, strategy, mesh, matrix_name=mat_name,
-                        warmup=warmup, iters=iters, oracle=oracle,
-                        check=check, gather_result=gather_result,
-                        dtype=dtype, amortized=amortized,
-                        comm_split=comm_split,
+    Failure handling (the reference's only mechanism is an external 240 s
+    ``qdel`` watchdog, ``batch_test.sh:88-92``): a job that raises is
+    recorded as a failed row (``on_error="record"``, default) or re-raised
+    (``"raise"``), and the sweep continues. ``checkpoint_csv`` appends each
+    record as it completes; ``resume_from`` skips (matrix, k, strategy,
+    devices) jobs already present in a previous CSV — together they give
+    kill-and-resume semantics for long sweeps.
+    """
+    done = set()
+    if resume_from:
+        import csv as _csv
+        import os
+
+        if os.path.exists(resume_from):
+            with open(resume_from) as f:
+                for row in _csv.DictReader(f):
+                    done.add((row["matrix"], int(row["k"]),
+                              row["strategy"], int(row["devices"])))
+
+    ckpt = None
+    if checkpoint_csv:
+        import csv as _csv
+
+        new_file = not (resume_from == checkpoint_csv and done)
+        ckpt_f = open(checkpoint_csv, "w" if new_file else "a", newline="")
+        ckpt = _csv.DictWriter(ckpt_f, fieldnames=CSV_COLUMNS)
+        if new_file:
+            ckpt.writeheader()
+
+    records: List[BenchRecord] = []
+    try:
+        for mat_name, csr in matrices.items():
+            for k in ks:
+                oracle = None
+                if check:
+                    from ..ops.oracle import spmm_host_f64
+
+                    oracle = spmm_host_f64(
+                        csr, generate_fat_vector(csr.shape[1], k, seed=0)
                     )
-                    records.append(rec)
-                    if progress:
-                        progress(rec)
+                for p in device_counts:
+                    mesh = make_mesh(p)
+                    for sname in strategy_names:
+                        strategy = get_strategy(sname)
+                        if (mat_name, k, strategy.name, p) in done:
+                            continue
+                        try:
+                            rec = run_benchmark(
+                                csr, k, strategy, mesh,
+                                matrix_name=mat_name,
+                                warmup=warmup, iters=iters, oracle=oracle,
+                                check=check, gather_result=gather_result,
+                                dtype=dtype, amortized=amortized,
+                                comm_split=comm_split,
+                            )
+                        except Exception:
+                            if on_error == "raise":
+                                raise
+                            rec = _failed_record(
+                                csr, k, strategy.name, p, mat_name, dtype
+                            )
+                        records.append(rec)
+                        if ckpt:
+                            ckpt.writerow(rec.to_dict())
+                            ckpt_f.flush()
+                        if progress:
+                            progress(rec)
+    finally:
+        if ckpt:
+            ckpt_f.close()
     return records
+
+
+def _failed_record(csr, k, strategy_name, devices, matrix_name,
+                   dtype) -> BenchRecord:
+    m, n = csr.shape
+    return BenchRecord(
+        matrix=matrix_name, m=m, n=n, nnz=csr.nnz, k=k,
+        strategy=strategy_name, devices=devices,
+        execution_time=float("nan"), prepare_time=float("nan"),
+        correct=False, max_error=None, gflops=0.0, gnnz_per_s=0.0,
+        roofline_fraction=None, dtype=str(dtype or csr.values.dtype),
+        device_kind=_device_kind(), gathered=True,
+    )
 
 
 CSV_COLUMNS = [

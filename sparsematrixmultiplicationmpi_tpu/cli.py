@@ -80,6 +80,8 @@ def _build_parser():
                      help="steady-state per-iteration timing")
     swp.add_argument("--comm-split", action="store_true",
                      help="also measure compute vs gather-collective split")
+    swp.add_argument("--resume", action="store_true",
+                     help="skip jobs already present in the --csv file")
 
     info = sub.add_parser("info", help="print device/mesh information")
 
@@ -248,6 +250,8 @@ def cmd_sweep(args) -> int:
         matrices, args.k, args.strategy, device_counts,
         iters=args.iters, amortized=args.amortized,
         comm_split=args.comm_split,
+        resume_from=args.csv_path if args.resume else None,
+        checkpoint_csv=args.csv_path,
         progress=lambda r: print(
             f"{r.matrix} k={r.k} p={r.devices} {r.strategy}: "
             f"{r.execution_time:.6f}s "
@@ -255,7 +259,6 @@ def cmd_sweep(args) -> int:
         ),
     )
     if args.csv_path:
-        write_csv(args.csv_path, records)
         print(f"wrote {args.csv_path}")
     if args.json_path:
         write_json(args.json_path, records)

@@ -1,0 +1,68 @@
+"""Sweep failure handling and kill-and-resume semantics."""
+
+import csv
+
+import pytest
+
+from sparsematrixmultiplicationmpi_tpu.bench.harness import sweep
+from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+from sparsematrixmultiplicationmpi_tpu.parallel.strategies import (
+    STRATEGIES, Strategy,
+)
+
+
+class _Exploding(Strategy):
+    name = "exploding"
+
+    def prepare(self, csr, mesh):
+        return None
+
+    def spmm(self, operand, v, mesh, *, gather_result=True):
+        raise RuntimeError("boom")
+
+
+def test_failed_job_recorded_not_fatal(tmp_path):
+    STRATEGIES["exploding"] = _Exploding
+    try:
+        mats = {"m": random_csr(30, 30, 150, seed=171)}
+        records = sweep(mats, ks=[2], strategy_names=["row", "exploding"],
+                        device_counts=[1], warmup=1, iters=1)
+        assert len(records) == 2
+        ok = {r.strategy: r for r in records}
+        assert ok["row_wise"].correct is True
+        assert ok["exploding"].correct is False
+        assert ok["exploding"].gflops == 0.0
+    finally:
+        del STRATEGIES["exploding"]
+
+
+def test_on_error_raise(tmp_path):
+    STRATEGIES["exploding"] = _Exploding
+    try:
+        mats = {"m": random_csr(30, 30, 150, seed=172)}
+        with pytest.raises(RuntimeError):
+            sweep(mats, ks=[2], strategy_names=["exploding"],
+                  device_counts=[1], warmup=1, iters=1, on_error="raise")
+    finally:
+        del STRATEGIES["exploding"]
+
+
+def test_checkpoint_and_resume(tmp_path):
+    path = str(tmp_path / "ckpt.csv")
+    mats = {"m": random_csr(30, 30, 150, seed=173)}
+
+    first = sweep(mats, ks=[2], strategy_names=["row"], device_counts=[1],
+                  warmup=1, iters=1, checkpoint_csv=path)
+    assert len(first) == 1
+    with open(path) as f:
+        assert len(list(csv.DictReader(f))) == 1
+
+    # Resume with a widened sweep: the finished job is skipped, new jobs
+    # append to the same CSV.
+    second = sweep(mats, ks=[2], strategy_names=["row", "nnz"],
+                   device_counts=[1], warmup=1, iters=1,
+                   resume_from=path, checkpoint_csv=path)
+    assert [r.strategy for r in second] == ["nnz"]
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert {r["strategy"] for r in rows} == {"row_wise", "nnz"}
