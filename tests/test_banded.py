@@ -103,3 +103,22 @@ def test_spmm_auto(maker, seed):
     v = jnp.asarray(generate_fat_vector(csr.shape[1], 6, seed=seed))
     out = spmm(csr, v)
     assert max_abs_error(out, np.asarray(csr.to_dense()) @ np.asarray(v)) < 1e-9
+
+
+def test_spmm_banded_bf16_band_f32_vector():
+    """bf16-stored band x f32 fat vector: accumulate in f32, bf16-level
+    accuracy (the half-traffic production mode)."""
+    import jax.numpy as jnp
+    from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+    csr = banded_csr(300, 8, 6, seed=85)
+    bb = BandedBlocks.from_csr(csr, block_rows=8).astype(jnp.bfloat16)
+    v = jnp.asarray(generate_fat_vector(300, 8, seed=86), jnp.float32)
+    out = spmm_banded(bb, v)
+    assert out.dtype == jnp.float32
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    # bf16 error is relative to the result's magnitude scale (individual
+    # small entries suffer cancellation, as in any bf16 reduction).
+    rel = np.max(np.abs(np.asarray(out, np.float64) - oracle))
+    rel /= np.max(np.abs(oracle))
+    assert rel < 2e-2
