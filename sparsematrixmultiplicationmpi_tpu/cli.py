@@ -58,6 +58,9 @@ def _build_parser():
     run.add_argument("--iters", type=int, default=5)
     run.add_argument("--warmup", type=int, default=2)
     run.add_argument("--seed", type=int, default=0)
+    run.add_argument("--amortized", action="store_true",
+                     help="steady-state per-iteration timing (recommended "
+                          "on remote/tunneled accelerators)")
     run.add_argument("--json", dest="json_path", default=None,
                      help="write records to JSON file ('-' for stdout)")
     run.add_argument("--csv", dest="csv_path", default=None)
@@ -204,6 +207,7 @@ def cmd_run(args) -> int:
             oracle=None if args.no_check else oracle,
             check=not args.no_check,
             gather_result=not args.no_gather,
+            amortized=args.amortized,
         )
         records.append(rec)
         label = STRATEGY_LABELS.get(strategy.name, strategy.name)

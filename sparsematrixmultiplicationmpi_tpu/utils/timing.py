@@ -64,20 +64,40 @@ class PhaseTimer:
         return out
 
 
+def _fence(result):
+    """True completion barrier: block, then fetch one element.
+
+    On remote runtimes ``block_until_ready`` alone can return before the
+    device has finished (the ready event is signaled optimistically); a
+    value fetch is a round trip that cannot complete early.
+    """
+    import numpy as np
+
+    result = jax.block_until_ready(result)
+    leaves = jax.tree.leaves(result)
+    if leaves and hasattr(leaves[0], "addressable_shards"):
+        np.asarray(leaves[0].addressable_shards[0].data).ravel()[:1]
+    elif leaves:
+        np.asarray(leaves[0]).ravel()[:1]
+    return result
+
+
 def time_fn(fn, *args, warmup: int = 1, iters: int = 5, **kwargs):
     """Benchmark a jitted function: returns (best_seconds, result).
 
-    Warms up (compile), then takes the best of ``iters`` timed runs, fencing
-    with ``block_until_ready`` — the MPI_Wtime-pair analog
-    (``main.cpp:161-163``) done correctly for an async runtime.
+    Warms up (compile), then takes the best of ``iters`` timed runs,
+    fenced by a value fetch — the MPI_Wtime-pair analog
+    (``main.cpp:161-163``) done correctly for an async remote runtime.
+    The fetch round trip is included in the measurement; for
+    dispatch-latency-free numbers use :func:`time_fn_amortized`.
     """
     result = None
     for _ in range(max(warmup, 1)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = _fence(fn(*args, **kwargs))
     best = float("inf")
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = _fence(fn(*args, **kwargs))
         best = min(best, time.perf_counter() - t0)
     return best, result
 
