@@ -25,7 +25,7 @@ import numpy as np
 from ..formats.matrix import CSR
 from ..io.generate import generate_fat_vector
 from ..parallel.mesh import make_mesh
-from ..parallel.strategies import Auto, Sequential, Strategy, get_strategy
+from ..parallel.strategies import Strategy, get_strategy
 from ..utils.compare import are_matrices_equal, default_tolerance, max_abs_error
 from ..utils.timing import time_fn, time_fn_amortized
 

@@ -162,7 +162,7 @@ def cmd_run(args) -> int:
     from .bench.harness import run_benchmark, write_csv, write_json
     from .io.generate import generate_fat_vector
     from .parallel import Sequential, get_strategy, make_mesh
-    from .utils.compare import are_matrices_equal, default_tolerance
+    from .utils.compare import default_tolerance
     from .utils.timing import time_fn
 
     t0 = time.perf_counter()

@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 from ..formats.matrix import CSR
-from .mtx import _parse_header, expand_and_build_csr
+from .mtx import expand_and_build_csr
 
 __all__ = ["available", "read_matrix_market_native", "native_dir"]
 

@@ -14,7 +14,6 @@ sharded on the mesh axis, weights replicated, gradients combined by the
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
 import jax

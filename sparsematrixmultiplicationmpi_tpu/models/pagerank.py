@@ -9,7 +9,6 @@ host round trips per step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -48,7 +48,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.matrix import COO, CSR, ELL
-from ..ops.ell import spmm_ell
 from ..ops.library import spmm_bcoo, to_bcoo
 from ..ops.oracle import spmm_coo
 
