@@ -2,12 +2,14 @@ from .gcn import (
     GCNParams, gcn_forward, gcn_loss, init_gcn, make_train_step,
     normalize_adjacency, synthetic_node_classification,
 )
+from .eigen import lanczos, topk_eigsh
 from .pagerank import pagerank, power_iteration
-from .solvers import SolveResult, conjugate_gradient, jacobi
+from .solvers import SolveResult, cgls, conjugate_gradient, jacobi
 
 __all__ = [
     "GCNParams", "gcn_forward", "gcn_loss", "init_gcn", "make_train_step",
     "normalize_adjacency", "synthetic_node_classification",
+    "lanczos", "topk_eigsh",
     "pagerank", "power_iteration",
-    "SolveResult", "conjugate_gradient", "jacobi",
+    "SolveResult", "cgls", "conjugate_gradient", "jacobi",
 ]

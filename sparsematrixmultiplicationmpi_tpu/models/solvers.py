@@ -13,7 +13,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conjugate_gradient", "jacobi", "SolveResult"]
+__all__ = ["conjugate_gradient", "jacobi", "cgls", "SolveResult"]
 
 
 class SolveResult(NamedTuple):
@@ -59,6 +59,53 @@ def conjugate_gradient(spmm: Callable[[jax.Array], jax.Array], b: jax.Array,
         cond, body, (x, r, p, rs, jnp.asarray(0))
     )
     norm = jnp.sqrt(jnp.sum(rs))
+    if squeeze:
+        x = x[:, 0]
+    return SolveResult(x, iters, norm)
+
+
+def cgls(spmm: Callable[[jax.Array], jax.Array],
+         spmm_t: Callable[[jax.Array], jax.Array], b: jax.Array, *,
+         tol: float = 1e-10, max_iter: int = 1000) -> SolveResult:
+    """CGLS: least-squares ``min ||A x - b||`` for general (rectangular)
+    sparse ``A``, using the forward operator and its transpose — the pair
+    ``ops/autodiff.py::make_spmm`` prepares. ``b`` is ``(m,)`` or ``(m, k)``.
+    """
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    s = spmm_t(b)
+    x = jnp.zeros_like(s)
+    r = b
+    p = s
+    gamma = jnp.sum(s * s, axis=0)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(
+        jnp.sum(s * s, axis=0), 1.0
+    )
+
+    def cond(state):
+        _, _, _, gamma, i = state
+        return jnp.logical_and(jnp.any(gamma > tol2), i < max_iter)
+
+    def body(state):
+        x, r, p, gamma, i = state
+        q = spmm(p)
+        denom = jnp.sum(q * q, axis=0)
+        alpha = jnp.where(denom > 0, gamma / jnp.where(denom == 0, 1, denom),
+                          0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = spmm_t(r)
+        gamma_new = jnp.sum(s * s, axis=0)
+        beta = jnp.where(gamma > 0,
+                         gamma_new / jnp.where(gamma == 0, 1, gamma), 0.0)
+        p = s + beta * p
+        return x, r, p, gamma_new, i + 1
+
+    x, r, _, gamma, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, gamma, jnp.asarray(0))
+    )
+    norm = jnp.sqrt(jnp.sum(r * r))
     if squeeze:
         x = x[:, 0]
     return SolveResult(x, iters, norm)
