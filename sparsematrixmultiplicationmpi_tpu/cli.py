@@ -130,15 +130,22 @@ def _load_matrix(spec: str, dtype):
             )
         csr = factories[name]()
     elif spec.endswith(".npz"):
-        from .formats.matrix import CSR
+        from .formats.banded import BandedBlocks
+        from .formats.matrix import BucketedELL, CSR
         from .formats.serialize import load_format
 
-        csr = load_format(spec)
-        if not isinstance(csr, CSR):
+        obj = load_format(spec)
+        if isinstance(obj, (BandedBlocks, BucketedELL)):
+            # Prepared compute formats run on the Auto strategy directly.
+            import jax.numpy as jnp
+
+            return obj.astype(getattr(jnp, dtype))
+        if not isinstance(obj, CSR):
             raise ValueError(
-                f"{spec} holds a {type(csr).__name__}, expected CSR; "
-                "prepared formats are for direct API use"
+                f"{spec} holds a {type(obj).__name__}; supported for run: "
+                "CSR, BucketedELL, BandedBlocks"
             )
+        csr = obj
     else:
         csr = read_matrix_market(spec)
     import jax.numpy as jnp
@@ -169,6 +176,12 @@ def cmd_run(args) -> int:
     csr = _load_matrix(args.matrix, args.dtype)
     load_time = time.perf_counter() - t0
     mesh = make_mesh(args.devices)
+
+    from .formats.banded import BandedBlocks
+    from .formats.matrix import BucketedELL
+
+    if isinstance(csr, (BandedBlocks, BucketedELL)):
+        return _run_prepared(args, csr, mesh, load_time)
     m, n = csr.shape
 
     # Header block: reference main.cpp:55-64 phrase contracts.
@@ -239,6 +252,43 @@ def cmd_run(args) -> int:
     if args.csv_path:
         write_csv(args.csv_path, records)
     return 1 if failures else 0
+
+
+def _run_prepared(args, operand, mesh, load_time) -> int:
+    """Benchmark a pre-converted compute format (from ``spmm convert``):
+    runs the auto dispatch path directly; no CSR is available so the
+    oracle comparison is skipped."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io.generate import generate_fat_vector
+    from .ops.auto import spmm_any
+    from .utils.timing import time_fn, time_fn_amortized
+
+    m, n = operand.shape
+    print(f"World size: {mesh.devices.size}")
+    print(f"Sparse matrix: {args.matrix} [{type(operand).__name__}]")
+    print(f"Matrix size: {m}x{n}")
+    print(f"Vector size: {n}x{args.k}")
+    print(f"Load time: {load_time:.6f} s")
+
+    dtype = operand.dtype
+    v = jnp.asarray(generate_fat_vector(n, args.k, seed=args.seed),
+                    dtype=dtype)
+    operand = jax.device_put(operand, mesh.devices.flat[0])
+    fn = jax.jit(spmm_any)
+    if args.amortized:
+        best, _ = time_fn_amortized(
+            lambda vv, op: spmm_any(op, vv), v, operand,
+            warmup=args.warmup, iters=args.iters,
+        )
+    else:
+        best, _ = time_fn(fn, operand, v,
+                          warmup=args.warmup, iters=args.iters)
+    print(f"Auto Execution time: {best:.6f} s")
+    print("(oracle comparison unavailable for prepared formats; "
+          "run on the .mtx to validate)")
+    return 0
 
 
 def cmd_sweep(args) -> int:

@@ -57,11 +57,15 @@ def test_convert_csr_then_run(tmp_path, capsys):
     assert "Results are the same!" in capsys.readouterr().out
 
 
-def test_run_rejects_prepared_format(tmp_path, capsys):
+def test_run_prepared_format(tmp_path, capsys):
     csr = banded_csr(60, 3, 2, seed=165)
     src = str(tmp_path / "m.mtx")
     dst = str(tmp_path / "m.npz")
     write_matrix_market(src, csr)
     cli_main(["convert", src, dst, "--format", "banded", "--block-rows", "8"])
-    rc = cli_main(["run", dst, "--k", "2"])
-    assert rc == 1
+    rc = cli_main(["run", dst, "--k", "2", "--iters", "1", "--warmup", "1",
+                   "--dtype", "float64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BandedBlocks" in out
+    assert "Auto Execution time:" in out
