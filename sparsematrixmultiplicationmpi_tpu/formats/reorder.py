@@ -57,33 +57,56 @@ def _symmetrized_adjacency(csr: CSR):
 
 def rcm_ordering(csr: CSR) -> np.ndarray:
     """Reverse Cuthill-McKee permutation: ``perm[k]`` = original index of
-    the row placed at position ``k``."""
+    the row placed at position ``k``.
+
+    Level-synchronous Cuthill-McKee: BFS proceeds a whole frontier at a
+    time (vectorized numpy per level — O(diameter) Python iterations, not
+    O(m)); within each new level nodes are ordered by (parent rank,
+    degree), the classic CM tie-break. Matches strict sequential CM's
+    bandwidth quality on mesh/banded graphs while scaling to
+    multi-million-row matrices.
+    """
     m, _ = csr.shape
     row_ptr, adj = _symmetrized_adjacency(csr)
-    degree = np.diff(row_ptr)
+    degree = (row_ptr[1:] - row_ptr[:-1]).astype(np.int64)
     visited = np.zeros(m, dtype=bool)
     order = np.empty(m, dtype=np.int64)
     pos = 0
-    # Process components in order of minimum degree start vertices.
     start_candidates = np.argsort(degree, kind="stable")
     for s in start_candidates:
         if visited[s]:
             continue
         visited[s] = True
+        frontier = np.array([s], dtype=np.int64)
         order[pos] = s
-        head, tail = pos, pos + 1
         pos += 1
-        while head < tail:
-            u = order[head]
-            head += 1
-            nbrs = adj[row_ptr[u]: row_ptr[u + 1]]
-            nbrs = nbrs[~visited[nbrs]]
-            if len(nbrs):
-                nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
-                visited[nbrs] = True
-                order[tail: tail + len(nbrs)] = nbrs
-                tail += len(nbrs)
-        pos = tail
+        while len(frontier):
+            counts = degree[frontier]
+            parent_rank = np.repeat(
+                np.arange(len(frontier), dtype=np.int64), counts
+            )
+            starts = row_ptr[frontier]
+            total = int(counts.sum())
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            nbrs = adj[np.repeat(starts, counts) + offs]
+            keep = ~visited[nbrs]
+            nbrs, parent_rank = nbrs[keep], parent_rank[keep]
+            if not len(nbrs):
+                break
+            # Stable unique keeping first occurrence in (parent, degree)
+            # order: sort by the CM key, then dedupe.
+            key_order = np.lexsort((degree[nbrs], parent_rank))
+            nbrs = nbrs[key_order]
+            first = np.zeros(len(nbrs), dtype=bool)
+            seen_order = np.unique(nbrs, return_index=True)[1]
+            first[seen_order] = True
+            level = nbrs[np.sort(np.nonzero(first)[0])]
+            visited[level] = True
+            order[pos: pos + len(level)] = level
+            pos += len(level)
+            frontier = level
     return order[::-1].copy()  # the "reverse" in RCM
 
 
