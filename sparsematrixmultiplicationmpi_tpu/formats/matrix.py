@@ -370,6 +370,31 @@ class BucketedELL:
         return out[:m]
 
 
+def split_csr_by_width(csr: CSR, max_width: int):
+    """Split into (head CSR with <= max_width nnz/row, tail COO of the
+    overflow) — the HYB/hybrid decomposition. Prevents the single-width
+    ELL padding blow-up on skewed (power-law) matrices, where one dense
+    row would otherwise inflate the planes to m x max_row_nnz.
+
+    Returns ``(head_csr, tail_coo_or_None)``. Host-side (build time).
+    """
+    m, n = csr.shape
+    lengths = csr.row_lengths().astype(np.int64)
+    if not len(lengths) or lengths.max() <= max_width:
+        return csr, None
+    row_ptr = np.asarray(csr.row_ptr).astype(np.int64)
+    cols = np.asarray(csr.col_indices)
+    vals = np.asarray(csr.values)
+    pos_in_row = np.arange(csr.nnz) - np.repeat(row_ptr[:-1], lengths)
+    head = pos_in_row < max_width
+    head_lengths = np.minimum(lengths, max_width)
+    head_ptr = np.concatenate([[0], np.cumsum(head_lengths)]).astype(np.int32)
+    head_csr = CSR.from_arrays(vals[head], cols[head], head_ptr, (m, n))
+    tail_rows = np.repeat(np.arange(m, dtype=np.int64), lengths)[~head]
+    tail = COO.from_arrays(vals[~head], tail_rows, cols[~head], (m, n))
+    return head_csr, tail
+
+
 def _csr_take_rows(csr: CSR, rows: np.ndarray) -> CSR:
     """Host-side row-subset CSR (used at format-build time only)."""
     row_ptr = np.asarray(csr.row_ptr)

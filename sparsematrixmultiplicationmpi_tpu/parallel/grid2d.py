@@ -20,8 +20,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..formats.matrix import CSR, ELL
-from .strategies import STRATEGIES, Strategy, _pad_axis
+from ..formats.matrix import CSR, ELL, split_csr_by_width
+from .strategies import (
+    STRATEGIES, HybridRowOperand, Strategy, _ell_width_cap, _pad_axis,
+)
 
 __all__ = ["Grid2D"]
 
@@ -43,36 +45,56 @@ class Grid2D(Strategy):
         return mesh.axis_names
 
     def prepare(self, csr: CSR, mesh: Mesh):
+        import numpy as np
+
         rows_ax, cols_ax = self._axes(mesh)
         p_r = mesh.shape[rows_ax]
+        cap = _ell_width_cap(csr, self.width_align)
+        head, tail = split_csr_by_width(csr, cap)
         ell = ELL.from_csr(
-            csr, row_align=8 * p_r, width_align=self.width_align
+            head, row_align=8 * p_r, width_align=self.width_align
         )
-        # Rows sharded over the row axis; replicated along the col axis.
+        # Rows sharded over the row axis; replicated along the col axis;
+        # tail nnz sharded over the row axis (HYB split, as in RowWise).
         sharded = NamedSharding(mesh, P(rows_ax, None))
-        return dataclasses.replace(
-            ell,
+        nnz_sharded = NamedSharding(mesh, P(rows_ax))
+        if tail is None:
+            tv = np.zeros((0,), np.asarray(ell.vals).dtype)
+            tr = tc = np.zeros((0,), np.int32)
+        else:
+            tail = tail.pad_to(-(-tail.nnz // p_r) * p_r)
+            tv, tr, tc = tail.values, tail.row_indices, tail.col_indices
+        return HybridRowOperand(
             cols=jax.device_put(ell.cols, sharded),
             vals=jax.device_put(ell.vals, sharded),
+            tail_values=jax.device_put(tv, nnz_sharded),
+            tail_rows=jax.device_put(tr, nnz_sharded),
+            tail_cols=jax.device_put(tc, nnz_sharded),
+            shape=csr.shape,
+            m_padded=ell.m_padded,
         )
 
-    def spmm(self, operand: ELL, v: jax.Array, mesh: Mesh, *,
+    def spmm(self, operand: HybridRowOperand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
         rows_ax, cols_ax = self._axes(mesh)
         p_c = mesh.shape[cols_ax]
         k = v.shape[1]
         v = _pad_axis(v, 1, p_c)
         v = jax.device_put(v, NamedSharding(mesh, P(None, cols_ax)))
+        has_tail = int(operand.tail_values.shape[0]) > 0
         out = _grid2d_spmm(
-            mesh, rows_ax, cols_ax, gather_result,
-            operand.cols, operand.vals, v,
+            mesh, rows_ax, cols_ax, gather_result, has_tail,
+            operand.m_padded,
+            operand.cols, operand.vals,
+            operand.tail_values, operand.tail_rows, operand.tail_cols, v,
         )
         return out[: operand.shape[0], :k]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _grid2d_spmm(mesh, rows_ax, cols_ax, gather, cols, vals, v):
-    def body(cols_blk, vals_blk, v_blk):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _grid2d_spmm(mesh, rows_ax, cols_ax, gather, has_tail, m_padded,
+                 cols, vals, tv, tr, tc, v):
+    def body(cols_blk, vals_blk, tv_blk, tr_blk, tc_blk, v_blk):
         # cols_blk/vals_blk: local row block (full width); v_blk: local
         # k-slice (full n rows). Output tile: (rows_local, k_local).
         gathered = jnp.take(v_blk, cols_blk.reshape(-1), axis=0)
@@ -80,6 +102,16 @@ def _grid2d_spmm(mesh, rows_ax, cols_ax, gather, cols, vals, v):
         out = jnp.sum(
             vals_blk[:, :, None].astype(v_blk.dtype) * gathered, axis=1
         )
+        if has_tail:
+            prods = tv_blk[:, None].astype(v_blk.dtype) * jnp.take(
+                v_blk, tc_blk, axis=0
+            )
+            partial_out = jax.ops.segment_sum(
+                prods, tr_blk, num_segments=m_padded
+            )
+            out = out + jax.lax.psum_scatter(
+                partial_out, rows_ax, tiled=True
+            )
         if gather:
             out = jax.lax.all_gather(out, cols_ax, axis=1, tiled=True)
             out = jax.lax.all_gather(out, rows_ax, tiled=True)
@@ -89,13 +121,14 @@ def _grid2d_spmm(mesh, rows_ax, cols_ax, gather, cols, vals, v):
         body,
         mesh=mesh,
         in_specs=(
-            P(rows_ax, None), P(rows_ax, None), P(None, cols_ax),
+            P(rows_ax, None), P(rows_ax, None),
+            P(rows_ax), P(rows_ax), P(rows_ax), P(None, cols_ax),
         ),
         out_specs=(
             P(None, None) if gather else P(rows_ax, cols_ax)
         ),
         check_vma=False,
-    )(cols, vals, v)
+    )(cols, vals, tv, tr, tc, v)
 
 
 STRATEGIES["grid2d"] = Grid2D

@@ -45,9 +45,12 @@ from typing import Literal
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..formats.matrix import COO, CSR, ELL
+from ..formats.matrix import (
+    COO, CSR, ELL, _register, _static_field, split_csr_by_width,
+)
 from ..ops.library import spmm_bcoo, to_bcoo
 from ..ops.oracle import spmm_coo
 
@@ -120,48 +123,110 @@ def _jit_sequential(coo: COO, v: jax.Array) -> jax.Array:
     return spmm_coo(coo, v)
 
 
+def _ell_width_cap(csr: CSR, width_align: int) -> int:
+    """Padded-plane width cap: p99 of row lengths (or 2x mean), aligned.
+
+    A single dense row must not inflate the ELL planes to
+    ``m x max_row_nnz`` (a 100k-row power-law matrix with one 500k-nnz row
+    would allocate 230 GB); overflow entries go to a COO tail instead.
+    """
+    lengths = csr.row_lengths()
+    if not len(lengths) or csr.nnz == 0:
+        return width_align
+    p99 = float(np.percentile(lengths, 99))
+    mean2 = 2.0 * csr.nnz / max(csr.shape[0], 1)
+    cap = int(max(width_align, p99, mean2))
+    return -(-cap // width_align) * width_align
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class HybridRowOperand:
+    """Row-sharded ELL head + nnz-sharded COO tail (HYB split)."""
+
+    cols: jax.Array                 # (m_padded, W)
+    vals: jax.Array                 # (m_padded, W)
+    tail_values: jax.Array          # (t,) — zero-length when no tail
+    tail_rows: jax.Array            # (t,)
+    tail_cols: jax.Array            # (t,)
+    shape: tuple = _static_field()
+    m_padded: int = _static_field()
+
+
 class RowWise(Strategy):
     """Output rows sharded over the mesh (reference
     ``...RowWise.cpp:26-50``): each device owns an ELL row block, the fat
     vector is replicated, and the result is optionally ``all_gather``-ed
-    (the ``MPI_Gatherv`` analog, ``RowWise.cpp:85-87``)."""
+    (the ``MPI_Gatherv`` analog, ``RowWise.cpp:85-87``). Rows beyond the
+    ELL width cap spill into an nnz-sharded COO tail combined by
+    ``psum_scatter`` onto the row shards (skew robustness the reference's
+    block-row scheme lacks)."""
 
     name = "row_wise"
 
-    def __init__(self, width_align: int = 8):
+    def __init__(self, width_align: int = 8, max_width: int | None = None):
         self.width_align = width_align
+        self.max_width = max_width
 
     def prepare(self, csr: CSR, mesh: Mesh):
         p = mesh.devices.size
+        cap = self.max_width or _ell_width_cap(csr, self.width_align)
+        head, tail = split_csr_by_width(csr, cap)
         ell = ELL.from_csr(
-            csr, row_align=8 * p, width_align=self.width_align
+            head, row_align=8 * p, width_align=self.width_align
         )
         ax = _axis(mesh)
         sharded = NamedSharding(mesh, P(ax, None))
-        return dataclasses.replace(
-            ell,
+        nnz_sharded = NamedSharding(mesh, P(ax))
+        if tail is None:
+            dtype = np.asarray(ell.vals).dtype
+            tv = np.zeros((0,), dtype)
+            tr = tc = np.zeros((0,), np.int32)
+        else:
+            tail = tail.pad_to(-(-tail.nnz // p) * p)
+            tv, tr, tc = tail.values, tail.row_indices, tail.col_indices
+        return HybridRowOperand(
             cols=jax.device_put(ell.cols, sharded),
             vals=jax.device_put(ell.vals, sharded),
+            tail_values=jax.device_put(tv, nnz_sharded),
+            tail_rows=jax.device_put(tr, nnz_sharded),
+            tail_cols=jax.device_put(tc, nnz_sharded),
+            shape=csr.shape,
+            m_padded=ell.m_padded,
         )
 
-    def spmm(self, operand: ELL, v: jax.Array, mesh: Mesh, *,
+    def spmm(self, operand: HybridRowOperand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
         ax = _axis(mesh)
         v = jax.device_put(v, NamedSharding(mesh, P(None, None)))
+        has_tail = int(operand.tail_values.shape[0]) > 0
         out = _rowwise_spmm(
-            mesh, ax, gather_result, operand.cols, operand.vals, v
+            mesh, ax, gather_result, has_tail, operand.m_padded,
+            operand.cols, operand.vals,
+            operand.tail_values, operand.tail_rows, operand.tail_cols, v,
         )
         return out[: operand.shape[0]]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _rowwise_spmm(mesh, ax, gather, cols, vals, v):
-    def body(cols_blk, vals_blk, v_full):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _rowwise_spmm(mesh, ax, gather, has_tail, m_padded,
+                  cols, vals, tv, tr, tc, v):
+    def body(cols_blk, vals_blk, tv_blk, tr_blk, tc_blk, v_full):
         gathered = jnp.take(v_full, cols_blk.reshape(-1), axis=0)
         gathered = gathered.reshape(*cols_blk.shape, v_full.shape[1])
         out = jnp.sum(
             vals_blk[:, :, None].astype(v_full.dtype) * gathered, axis=1
         )
+        if has_tail:
+            # Overflow entries: local partial over the full height, then
+            # reduce-scatter back onto the row shards.
+            prods = tv_blk[:, None].astype(v_full.dtype) * jnp.take(
+                v_full, tc_blk, axis=0
+            )
+            partial_out = jax.ops.segment_sum(
+                prods, tr_blk, num_segments=m_padded
+            )
+            out = out + jax.lax.psum_scatter(partial_out, ax, tiled=True)
         if gather:
             out = jax.lax.all_gather(out, ax, tiled=True)
         return out
@@ -169,10 +234,11 @@ def _rowwise_spmm(mesh, ax, gather, cols, vals, v):
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(ax, None), P(ax, None), P(None, None)),
+        in_specs=(P(ax, None), P(ax, None), P(ax), P(ax), P(ax),
+                  P(None, None)),
         out_specs=P(None, None) if gather else P(ax, None),
         check_vma=False,
-    )(cols, vals, v)
+    )(cols, vals, tv, tr, tc, v)
 
 
 class ColumnWise(Strategy):
@@ -184,50 +250,50 @@ class ColumnWise(Strategy):
 
     name = "column_wise"
 
-    def __init__(self, width_align: int = 8):
-        self.width_align = width_align
+    def __init__(self, **bucket_kwargs):
+        self.bucket_kwargs = bucket_kwargs
 
     def prepare(self, csr: CSR, mesh: Mesh):
-        ell = ELL.from_csr(csr, row_align=8, width_align=self.width_align)
-        replicated = NamedSharding(mesh, P(None, None))
-        return dataclasses.replace(
-            ell,
-            cols=jax.device_put(ell.cols, replicated),
-            vals=jax.device_put(ell.vals, replicated),
-        )
+        from ..formats.matrix import BucketedELL
 
-    def spmm(self, operand: ELL, v: jax.Array, mesh: Mesh, *,
+        bell = BucketedELL.from_csr(csr, **self.bucket_kwargs)
+        replicated = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*([None] * np.ndim(x))))
+            ),
+            bell,
+        )
+        return replicated
+
+    def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
         ax = _axis(mesh)
         p = mesh.devices.size
         k = v.shape[1]
         v = _pad_axis(v, 1, p)
         v = jax.device_put(v, NamedSharding(mesh, P(None, ax)))
-        out = _colwise_spmm(
-            mesh, ax, gather_result, operand.cols, operand.vals, v
-        )
+        out = _colwise_spmm(mesh, ax, gather_result, operand, v)
         return out[: operand.shape[0], :k]
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
-def _colwise_spmm(mesh, ax, gather, cols, vals, v):
-    def body(cols_full, vals_full, v_blk):
-        gathered = jnp.take(v_blk, cols_full.reshape(-1), axis=0)
-        gathered = gathered.reshape(*cols_full.shape, v_blk.shape[1])
-        out = jnp.sum(
-            vals_full[:, :, None].astype(v_blk.dtype) * gathered, axis=1
-        )
+def _colwise_spmm(mesh, ax, gather, bell, v):
+    from ..ops.ell import spmm_bucketed
+
+    def body(bell_full, v_blk):
+        out = spmm_bucketed(bell_full, v_blk)
         if gather:
             out = jax.lax.all_gather(out, ax, axis=1, tiled=True)
         return out
 
+    bell_specs = jax.tree.map(lambda x: P(*([None] * np.ndim(x))), bell)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, None), P(None, None), P(None, ax)),
+        in_specs=(bell_specs, P(None, ax)),
         out_specs=P(None, None) if gather else P(None, ax),
         check_vma=False,
-    )(cols, vals, v)
+    )(bell, v)
 
 
 class NonZeroElement(Strategy):

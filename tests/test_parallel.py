@@ -132,3 +132,48 @@ def test_all_strategies_agree(mesh):
     base = results.pop("sequential")
     for name, r in results.items():
         assert max_abs_error(r, base) < 1e-9, name
+
+
+def test_row_wise_skewed_tail(mesh):
+    """A matrix with one near-dense row must spill into the COO tail, not
+    inflate the ELL planes to m x max_row_nnz (the power-law OOM class)."""
+    import numpy as np
+    rng = np.random.default_rng(300)
+    m = 64
+    dense = np.zeros((m, m))
+    # one heavy row + light rows
+    dense[3, :] = rng.normal(size=m)
+    light = rng.uniform(size=(m, m)) < 0.05
+    dense += np.where(light, rng.normal(size=(m, m)), 0.0)
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import CSR as _CSR
+    csr = _CSR.from_dense(dense)
+    strat = RowWise()
+    operand = strat.prepare(csr, mesh)
+    assert operand.tail_values.shape[0] > 0           # tail engaged
+    assert operand.cols.shape[1] < m                  # width capped
+    out, oracle = _run(strat, csr, 5, mesh)
+    assert max_abs_error(out, oracle) < 1e-9
+    out, oracle = _run(strat, csr, 5, mesh, gather=False)
+    assert max_abs_error(np.asarray(out), oracle) < 1e-9
+
+
+def test_grid2d_skewed_tail():
+    import numpy as np
+    from sparsematrixmultiplicationmpi_tpu.parallel import Grid2D, make_mesh_2d
+    rng = np.random.default_rng(301)
+    m = 48
+    dense = np.zeros((m, m))
+    dense[7, :] = rng.normal(size=m)
+    light = rng.uniform(size=(m, m)) < 0.08
+    dense += np.where(light, rng.normal(size=(m, m)), 0.0)
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import CSR as _CSR
+    csr = _CSR.from_dense(dense)
+    mesh2 = make_mesh_2d(4, 2)
+    strat = Grid2D()
+    operand = strat.prepare(csr, mesh2)
+    assert operand.tail_values.shape[0] > 0
+    import jax.numpy as jnp
+    v = jnp.asarray(generate_fat_vector(m, 6, seed=302))
+    out = strat.spmm(operand, v, mesh2)
+    oracle = np.asarray(csr.to_dense()) @ np.asarray(v)
+    assert max_abs_error(out, oracle) < 1e-9
