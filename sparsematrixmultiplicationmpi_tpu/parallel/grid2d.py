@@ -13,7 +13,6 @@ volume at 1/p of the reference's design.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
