@@ -1,0 +1,106 @@
+"""Markdown benchmark report — the reference report's results section,
+generated from data instead of hand-written.
+
+Produces per-matrix tables (best time / throughput per strategy and k),
+the correctness tally (the reference's "Number of errors" notebook cell),
+and a comparison against the reference's published baseline when the
+matrix matches cop20k_A's stats.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from .harness import BenchRecord
+
+__all__ = ["render_report"]
+
+#: Reference best (row-wise, k=12, 60 cores, cop20k_A) — BASELINE.md.
+REFERENCE_BEST_GNNZ = 2_624_331 / 0.1023 / 1e9
+
+
+def _fmt_time(s: float) -> str:
+    if s != s:  # NaN (failed job)
+        return "failed"
+    if s < 1e-3:
+        return f"{s * 1e6:.0f} µs"
+    return f"{s * 1e3:.3f} ms"
+
+
+def render_report(records: Sequence[BenchRecord],
+                  path: Optional[str] = None, *,
+                  title: str = "Benchmark report") -> str:
+    lines = [f"# {title}", ""]
+    if records:
+        r0 = records[0]
+        lines += [
+            f"Hardware: {r0.device_kind} ({r0.devices} device(s) per job "
+            f"unless noted); dtype {r0.dtype}.",
+            "",
+        ]
+
+    total = len(records)
+    checked = [r for r in records if r.correct is not None]
+    bad = [r for r in checked if not r.correct]
+    lines += [
+        f"**Correctness:** {len(checked) - len(bad)}/{len(checked)} checked "
+        "jobs match the host float64 oracle"
+        + (f" — {len(bad)} MISMATCH/failed: "
+           + ", ".join(f"{r.matrix}/k={r.k}/{r.strategy}" for r in bad[:10])
+           if bad else " (0 errors)."),
+        "",
+    ]
+
+    matrices = sorted({r.matrix for r in records})
+    for mat in matrices:
+        sub = [r for r in records if r.matrix == mat]
+        r0 = sub[0]
+        lines += [
+            f"## {mat}",
+            "",
+            f"{r0.m:,} x {r0.n:,}, {r0.nnz:,} nonzeros",
+            "",
+        ]
+        ks = sorted({r.k for r in sub})
+        strategies = sorted({r.strategy for r in sub})
+        header = "| strategy | " + " | ".join(f"k={k}" for k in ks) + " |"
+        sep = "|---" * (len(ks) + 1) + "|"
+        lines += [header, sep]
+        for s in strategies:
+            cells = []
+            for k in ks:
+                cand = [r for r in sub if r.strategy == s and r.k == k]
+                cells.append(_fmt_time(min(
+                    (r.execution_time for r in cand), default=float("nan")
+                )))
+            lines.append(f"| {s} | " + " | ".join(cells) + " |")
+        best = min(sub, key=lambda r: r.execution_time
+                   if r.execution_time == r.execution_time else 1e9)
+        lines += [
+            "",
+            f"Best: **{best.strategy}** at k={best.k}: "
+            f"{_fmt_time(best.execution_time)} = "
+            f"{best.gnnz_per_s:.3f} Gnnz/s, {best.gflops:.1f} GFLOP/s"
+            + (f", {best.roofline_fraction * 100:.1f}% of the per-chip "
+               "roofline" if best.roofline_fraction else ""),
+            "",
+        ]
+        if "cop20k" in mat:
+            k32 = [r for r in sub if r.k == 32 and
+                   r.execution_time == r.execution_time]
+            if k32:
+                fastest = min(k32, key=lambda r: r.execution_time)
+                ratio = fastest.gnnz_per_s / REFERENCE_BEST_GNNZ
+                lines += [
+                    f"vs the reference's best measured throughput on "
+                    f"cop20k_A (row-wise, k=12, 60 Xeon cores: "
+                    f"{REFERENCE_BEST_GNNZ:.4f} Gnnz/s): "
+                    f"**{ratio:.1f}x** on one chip.",
+                    "",
+                ]
+
+    text = "\n".join(lines)
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

@@ -60,3 +60,17 @@ def test_render_all_plots(tmp_path):
     assert len(paths) >= 5
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_render_report(tmp_path):
+    from sparsematrixmultiplicationmpi_tpu.bench.report import render_report
+
+    mats = {"cop20k_like_mini": random_csr(60, 60, 400, seed=126)}
+    records = sweep(mats, ks=[2, 32], strategy_names=["row", "nnz"],
+                    device_counts=[1], warmup=1, iters=1)
+    path = str(tmp_path / "REPORT.md")
+    text = render_report(records, path)
+    assert "cop20k_like_mini" in text
+    assert "Correctness" in text
+    assert "vs the reference" in text  # cop20k-named matrix comparison
+    assert (tmp_path / "REPORT.md").exists()
