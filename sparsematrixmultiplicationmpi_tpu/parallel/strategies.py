@@ -381,10 +381,15 @@ def _jit_library(bcoo, v):
 
 
 class Auto(Strategy):
-    """Structure-adaptive single-device path: band-dense MXU storage for
-    matrices with diagonal locality, bucketed ELL otherwise (see
-    ``ops/auto.py``). This is the framework's "just make it fast" kernel —
-    the path ``bench.py`` reports."""
+    """Structure- and mesh-adaptive path — the framework's "just make it
+    fast" strategy (the path ``bench.py`` reports).
+
+    Single device: band-dense MXU storage for matrices with diagonal
+    locality, bucketed ELL otherwise (``ops/auto.py``). Multi-device mesh:
+    the halo-exchange row-sharded band strategy for square matrices with
+    band structure, the hybrid row-wise strategy otherwise. Dispatch is on
+    the *prepared operand's* type, so prepare-once/multiply-many works
+    across all cases."""
 
     name = "auto"
 
@@ -394,11 +399,31 @@ class Auto(Strategy):
     def prepare(self, csr: CSR, mesh: Mesh):
         from ..ops.auto import auto_format
 
+        p = int(mesh.devices.size)
+        if p > 1:
+            from ..formats.banded import band_coverage
+
+            m, n = csr.shape
+            if m == n and band_coverage(csr, 128) >= 0.5:
+                from .banded_strategy import BandedRowWise
+
+                return BandedRowWise().prepare(csr, mesh)
+            return RowWise().prepare(csr, mesh)
         operand = auto_format(csr, **self.format_kwargs)
         return jax.device_put(operand, mesh.devices.flat[0])
 
     def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
+        from .banded_strategy import BandedRowOperand, BandedRowWise
+
+        if isinstance(operand, BandedRowOperand):
+            return BandedRowWise().spmm(
+                operand, v, mesh, gather_result=gather_result
+            )
+        if isinstance(operand, HybridRowOperand):
+            return RowWise().spmm(
+                operand, v, mesh, gather_result=gather_result
+            )
         return _jit_auto(operand, v)
 
 

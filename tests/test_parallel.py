@@ -177,3 +177,29 @@ def test_grid2d_skewed_tail():
     out = strat.spmm(operand, v, mesh2)
     oracle = np.asarray(csr.to_dense()) @ np.asarray(v)
     assert max_abs_error(out, oracle) < 1e-9
+
+
+def test_auto_multidevice_dispatch(mesh):
+    """Auto on a multi-device mesh: banded matrices get the halo strategy,
+    scattered matrices the hybrid row-wise; both match the oracle."""
+    from sparsematrixmultiplicationmpi_tpu.parallel import Auto
+    from sparsematrixmultiplicationmpi_tpu.parallel.banded_strategy import (
+        BandedRowOperand,
+    )
+    from sparsematrixmultiplicationmpi_tpu.parallel.strategies import (
+        HybridRowOperand,
+    )
+
+    auto = Auto()
+    band = banded_csr(128, 5, 4, seed=310)
+    op = auto.prepare(band, mesh)
+    assert isinstance(op, BandedRowOperand)
+    out, oracle = _run(auto, band, 4, mesh)
+    assert max_abs_error(out, oracle) < 1e-9
+
+    # Big enough that the 3x128 halo window cannot cover random scatter.
+    scattered = random_csr(1000, 1000, 6000, seed=311)
+    op2 = auto.prepare(scattered, mesh)
+    assert isinstance(op2, HybridRowOperand)
+    out, oracle = _run(auto, scattered, 4, mesh)
+    assert max_abs_error(out, oracle) < 1e-9
