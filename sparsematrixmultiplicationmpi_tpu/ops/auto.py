@@ -49,7 +49,14 @@ def spmm_any(operand: AutoFormat, v: jax.Array,
     """
     if isinstance(operand, BandedBlocks):
         if use_pallas is None:
-            use_pallas = _on_accelerator() and operand.block_rows >= 256
+            # Mosaic rejects the transposed-window scratch for fat-vector
+            # widths that are not sublane-aligned (observed: k=6/12 fail,
+            # k=1/32 compile); gate on k % 8 == 0.
+            use_pallas = (
+                _on_accelerator()
+                and operand.block_rows >= 256
+                and v.shape[1] % 8 == 0
+            )
         if use_pallas:
             from .pallas_banded import spmm_banded_pallas
 
