@@ -120,3 +120,35 @@ def test_gcn_training_learns():
     preds = jnp.argmax(gcn_forward(params, spmm, x), axis=1)
     acc = float(jnp.mean((preds == labels)[mask]))
     assert acc > 0.7
+
+
+def test_gat_layer():
+    from sparsematrixmultiplicationmpi_tpu.models.gat import (
+        gat_layer, init_gat, segment_softmax,
+    )
+    from sparsematrixmultiplicationmpi_tpu.models import (
+        synthetic_node_classification,
+    )
+
+    adj, x, labels, mask = synthetic_node_classification(40, 8, 3, seed=230)
+    coo = adj.to_coo().astype(jnp.float64)
+    params = init_gat(jax.random.PRNGKey(0), 8, 16, dtype=jnp.float64)
+    out = gat_layer(params, coo, x.astype(jnp.float64))
+    assert out.shape == (40, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # Attention weights sum to 1 per row with edges.
+    rows = np.asarray(coo.row_indices)
+    h = x.astype(jnp.float64) @ params.w
+    scores = jax.nn.leaky_relu(
+        jnp.take(h @ params.att_dst, coo.row_indices)
+        + jnp.take(h @ params.att_src, coo.col_indices), 0.2)
+    w = segment_softmax(scores, coo.row_indices, 40)
+    sums = np.zeros(40)
+    np.add.at(sums, rows, np.asarray(w))
+    present = np.unique(rows)
+    np.testing.assert_allclose(sums[present], 1.0, atol=1e-12)
+    # Differentiable end to end.
+    g = jax.grad(
+        lambda p: jnp.sum(gat_layer(p, coo, x.astype(jnp.float64)) ** 2)
+    )(params)
+    assert bool(jnp.all(jnp.isfinite(g.w)))

@@ -109,3 +109,44 @@ def test_dense_oracle_matches_numpy():
     csr = MATRICES["random"]()
     v = jnp.asarray(generate_fat_vector(csr.shape[1], 2, seed=15))
     assert max_abs_error(spmm_dense(csr, v), _oracle(csr, v)) < 1e-9
+
+
+def test_sddmm_matches_dense():
+    from sparsematrixmultiplicationmpi_tpu.ops.sddmm import sddmm
+
+    csr = random_csr(30, 20, 150, seed=220)
+    rng = np.random.default_rng(221)
+    a = jnp.asarray(rng.normal(size=(30, 7)))
+    b = jnp.asarray(rng.normal(size=(20, 7)))
+    out = sddmm(csr, a, b)
+    dense_scores = np.asarray(a) @ np.asarray(b).T
+    mask = np.asarray(csr.to_dense()) != 0
+    expected = np.where(mask, dense_scores, 0.0)
+    assert max_abs_error(out.to_dense(), expected) < 1e-10
+
+
+def test_sddmm_scaled_and_grad():
+    from sparsematrixmultiplicationmpi_tpu.ops.sddmm import sddmm
+
+    csr = random_csr(16, 16, 60, seed=222)
+    rng = np.random.default_rng(223)
+    a = jnp.asarray(rng.normal(size=(16, 4)))
+    b = jnp.asarray(rng.normal(size=(16, 4)))
+    out = sddmm(csr, a, b, scale_by_values=True)
+    coo = csr.to_coo()
+    rows, cols = np.asarray(coo.row_indices), np.asarray(coo.col_indices)
+    expected = np.asarray(coo.values) * np.sum(
+        np.asarray(a)[rows] * np.asarray(b)[cols], axis=1
+    )
+    np.testing.assert_allclose(np.asarray(out.values), expected, atol=1e-12)
+    # Differentiable w.r.t. the dense factors (attention training).
+    g = jax.grad(lambda aa: jnp.sum(sddmm(csr, aa, b).values ** 2))(a)
+    assert g.shape == a.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_sddmm_shape_mismatch():
+    from sparsematrixmultiplicationmpi_tpu.ops.sddmm import sddmm
+
+    csr = random_csr(8, 8, 20, seed=224)
+    with pytest.raises(ValueError):
+        sddmm(csr, jnp.ones((8, 3)), jnp.ones((9, 3)))
