@@ -76,3 +76,13 @@ def gat_layer(params: GATParams, adj: COO, x: jax.Array) -> jax.Array:
 
     attention = dataclasses.replace(adj, values=weights)
     return spmm_coo(attention, h)
+
+
+def multi_head_gat(params_list, adj: COO, x: jax.Array,
+                   concat: bool = True) -> jax.Array:
+    """Multi-head attention: run each head's ``gat_layer`` and concat (or
+    average) — the standard GAT composition."""
+    outs = [gat_layer(p, adj, x) for p in params_list]
+    if concat:
+        return jnp.concatenate(outs, axis=1)
+    return sum(outs) / len(outs)

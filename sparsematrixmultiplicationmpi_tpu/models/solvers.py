@@ -24,41 +24,52 @@ class SolveResult(NamedTuple):
 
 def conjugate_gradient(spmm: Callable[[jax.Array], jax.Array], b: jax.Array,
                        *, x0=None, tol: float = 1e-10,
-                       max_iter: int = 1000) -> SolveResult:
-    """CG for SPD systems ``A x = b`` (``b`` may be ``(n,)`` or ``(n, k)``
-    — a fat right-hand side runs k solves in lockstep, the SpMM-native
-    formulation)."""
+                       max_iter: int = 1000,
+                       preconditioner: Callable[[jax.Array], jax.Array]
+                       | None = None) -> SolveResult:
+    """(Preconditioned) CG for SPD systems ``A x = b``.
+
+    ``b`` may be ``(n,)`` or ``(n, k)`` — a fat right-hand side runs k
+    solves in lockstep, the SpMM-native formulation.
+    ``preconditioner`` applies ``M^-1`` (e.g. ``lambda r: r * inv_diag``
+    for Jacobi preconditioning); identity when omitted.
+    """
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
+    precond = preconditioner or (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmm(x)
-    p = r
-    rs = jnp.sum(r * r, axis=0)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=0)
     tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(
         jnp.sum(b * b, axis=0), 1.0
     )
 
     def cond(state):
-        _, _, _, rs, i = state
-        return jnp.logical_and(jnp.any(rs > tol2), i < max_iter)
+        _, r, _, _, i = state
+        return jnp.logical_and(
+            jnp.any(jnp.sum(r * r, axis=0) > tol2), i < max_iter
+        )
 
     def body(state):
-        x, r, p, rs, i = state
+        x, r, p, rz, i = state
         ap = spmm(p)
         denom = jnp.sum(p * ap, axis=0)
-        alpha = jnp.where(denom > 0, rs / jnp.where(denom == 0, 1, denom), 0.0)
+        alpha = jnp.where(denom > 0, rz / jnp.where(denom == 0, 1, denom), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(rs > 0, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
-        p = r + beta * p
-        return x, r, p, rs_new, i + 1
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1, rz), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new, i + 1
 
-    x, r, _, rs, iters = jax.lax.while_loop(
-        cond, body, (x, r, p, rs, jnp.asarray(0))
+    x, r, _, rz, iters = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0))
     )
-    norm = jnp.sqrt(jnp.sum(rs))
+    norm = jnp.sqrt(jnp.sum(r * r))
     if squeeze:
         x = x[:, 0]
     return SolveResult(x, iters, norm)

@@ -70,3 +70,47 @@ def test_cgls_1d_rhs():
     x_ref = np.linalg.lstsq(a, b, rcond=None)[0]
     np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
     assert res.x.shape == (25,)
+
+
+def test_preconditioned_cg_fewer_iterations():
+    """Jacobi preconditioning must converge in fewer iterations on an
+    ill-conditioned diagonal-dominant system."""
+    rng = np.random.default_rng(217)
+    n = 100
+    # Wildly varying diagonal -> poor conditioning for plain CG.
+    diag = 10.0 ** rng.uniform(0, 4, size=n)
+    off = rng.normal(size=(n, n)) * (rng.uniform(size=(n, n)) < 0.05)
+    a = (off + off.T) * 0.1 + np.diag(diag)
+    csr = CSR.from_dense(a)
+    spmm = _closure(csr)
+    b = jnp.asarray(rng.normal(size=n))
+    from sparsematrixmultiplicationmpi_tpu.models import conjugate_gradient
+
+    plain = conjugate_gradient(spmm, b, tol=1e-10, max_iter=2000)
+    inv_d = jnp.asarray(1.0 / diag)
+    pre = conjugate_gradient(
+        spmm, b, tol=1e-10, max_iter=2000,
+        preconditioner=lambda r: r * inv_d[:, None],
+    )
+    x_ref = np.linalg.solve(a, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(pre.x), x_ref, atol=1e-5)
+    assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_multi_head_gat():
+    import jax
+    from sparsematrixmultiplicationmpi_tpu.models.gat import (
+        init_gat, multi_head_gat,
+    )
+    from sparsematrixmultiplicationmpi_tpu.models import (
+        synthetic_node_classification,
+    )
+
+    adj, x, _, _ = synthetic_node_classification(30, 6, 2, seed=218)
+    coo = adj.to_coo().astype(jnp.float64)
+    heads = [init_gat(jax.random.PRNGKey(i), 6, 8, dtype=jnp.float64)
+             for i in range(3)]
+    out = multi_head_gat(heads, coo, x.astype(jnp.float64))
+    assert out.shape == (30, 24)
+    avg = multi_head_gat(heads, coo, x.astype(jnp.float64), concat=False)
+    assert avg.shape == (30, 8)
