@@ -147,6 +147,11 @@ class BandedBlocks:
             )
         return cls(band=band, spill=spill, shape=(m, n), block_rows=r)
 
+    def __matmul__(self, v):
+        from ..ops.banded import spmm_banded
+
+        return spmm_banded(self, v)
+
     def to_dense(self) -> jax.Array:
         m, n = self.shape
         r = self.block_rows

@@ -133,6 +133,12 @@ class CSR:
             shape=self.shape,
         )
 
+    def __matmul__(self, v):
+        """``csr @ v`` — auto-formatted SpMM (``ops/auto.py``)."""
+        from ..ops.auto import spmm
+
+        return spmm(self, v)
+
     def row_lengths(self) -> np.ndarray:
         return np.diff(np.asarray(self.row_ptr))
 
@@ -266,6 +272,11 @@ class ELL:
         vals[rows, offsets] = src_vals
         return cls(cols=cols, vals=vals, shape=(m, n))
 
+    def __matmul__(self, v):
+        from ..ops.ell import spmm_ell
+
+        return spmm_ell(self, v)
+
     def to_dense(self) -> jax.Array:
         m, n = self.shape
         out = jnp.zeros((self.m_padded, n), dtype=self.vals.dtype)
@@ -356,6 +367,11 @@ class BucketedELL:
             inv_row_perm=inv_row_perm,
             shape=(m, n),
         )
+
+    def __matmul__(self, v):
+        from ..ops.ell import spmm_bucketed
+
+        return spmm_bucketed(self, v)
 
     def to_dense(self) -> jax.Array:
         m, n = self.shape
