@@ -27,17 +27,21 @@ __all__ = [
 ]
 
 # Fixed categorical assignment (validated palette; color follows the
-# strategy identity, never rank or order of appearance).
+# strategy identity, never rank or order of appearance). Slots are
+# assigned in the strategies' alphabetical order — the order they appear
+# side by side in grouped bars and legends — so visually adjacent marks
+# use the palette's adjacency-validated hue sequence.
 STRATEGY_COLORS = {
-    "sequential": "#2a78d6",
-    "row_wise": "#eb6834",
+    "auto": "#2a78d6",
+    "banded_row_wise": "#eb6834",
     "column_wise": "#1baf7a",
-    "nnz": "#eda100",
+    "grid2d": "#eda100",
     "library": "#e87ba4",
-    "auto": "#008300",
-    "banded_row_wise": "#4a3aa7",
+    "nnz": "#008300",
+    "row_wise": "#4a3aa7",
+    "sequential": "#e34948",
 }
-_FALLBACK = "#e34948"
+_FALLBACK = "#9a9a94"
 
 _STRATEGY_LABELS = {
     "sequential": "Sequential",
