@@ -4,7 +4,7 @@ from .gcn import (
 )
 from .eigen import lanczos, topk_eigsh
 from .gat import GATParams, gat_layer, init_gat, segment_softmax
-from .pagerank import pagerank, power_iteration
+from .pagerank import normalize_columns, pagerank, power_iteration
 from .solvers import SolveResult, cgls, conjugate_gradient, jacobi
 
 __all__ = [
@@ -12,6 +12,6 @@ __all__ = [
     "normalize_adjacency", "synthetic_node_classification",
     "GATParams", "gat_layer", "init_gat", "segment_softmax",
     "lanczos", "topk_eigsh",
-    "pagerank", "power_iteration",
+    "normalize_columns", "pagerank", "power_iteration",
     "SolveResult", "cgls", "conjugate_gradient", "jacobi",
 ]

@@ -17,10 +17,10 @@ import numpy as np
 
 from ..formats.matrix import CSR
 
-__all__ = ["pagerank", "power_iteration"]
+__all__ = ["pagerank", "power_iteration", "normalize_columns"]
 
 
-def _normalize_columns(csr: CSR) -> CSR:
+def normalize_columns(csr: CSR) -> CSR:
     """Column-stochastic rescale: A[:, j] /= colsum[j] (dangling cols -> 0)."""
     cols = np.asarray(csr.col_indices)
     vals = np.asarray(csr.values)
@@ -85,3 +85,7 @@ def power_iteration(spmm: Callable[[jax.Array], jax.Array], n: int, *,
          jnp.asarray(0)),
     )
     return lam, v[:, 0], iters
+
+
+#: Backwards-compatible private alias.
+_normalize_columns = normalize_columns
