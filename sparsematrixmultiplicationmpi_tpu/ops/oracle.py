@@ -26,8 +26,10 @@ def spmm_coo(coo: COO, v: jax.Array) -> jax.Array:
     the reference triple loop (``SparseMatrixFatVectorMultiply.cpp:22-27``)
     with the row loop turned into a segment reduction.
     """
+    from .ell import take_rows
+
     m, _ = coo.shape
-    gathered = jnp.take(v, coo.col_indices, axis=0)  # (nnz, k) HBM gather
+    gathered = take_rows(v, coo.col_indices)  # (nnz, k) HBM gather
     prods = coo.values[:, None].astype(v.dtype) * gathered
     return jax.ops.segment_sum(
         prods, coo.row_indices, num_segments=m, indices_are_sorted=True

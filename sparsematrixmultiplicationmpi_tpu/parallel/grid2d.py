@@ -96,15 +96,17 @@ def _grid2d_spmm(mesh, rows_ax, cols_ax, gather, has_tail, m_padded,
     def body(cols_blk, vals_blk, tv_blk, tr_blk, tc_blk, v_blk):
         # cols_blk/vals_blk: local row block (full width); v_blk: local
         # k-slice (full n rows). Output tile: (rows_local, k_local).
-        gathered = jnp.take(v_blk, cols_blk.reshape(-1), axis=0)
+        from ..ops.ell import take_rows
+
+        gathered = take_rows(v_blk, cols_blk.reshape(-1))
         gathered = gathered.reshape(*cols_blk.shape, v_blk.shape[1])
         out = jnp.sum(
             vals_blk[:, :, None].astype(v_blk.dtype) * gathered, axis=1
         )
         if has_tail:
-            prods = tv_blk[:, None].astype(v_blk.dtype) * jnp.take(
-                v_blk, tc_blk, axis=0
-            )
+            from ..ops.ell import take_rows as _tr
+
+            prods = tv_blk[:, None].astype(v_blk.dtype) * _tr(v_blk, tc_blk)
             partial_out = jax.ops.segment_sum(
                 prods, tr_blk, num_segments=m_padded
             )

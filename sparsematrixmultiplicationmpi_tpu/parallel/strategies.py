@@ -212,7 +212,9 @@ class RowWise(Strategy):
 def _rowwise_spmm(mesh, ax, gather, has_tail, m_padded,
                   cols, vals, tv, tr, tc, v):
     def body(cols_blk, vals_blk, tv_blk, tr_blk, tc_blk, v_full):
-        gathered = jnp.take(v_full, cols_blk.reshape(-1), axis=0)
+        from ..ops.ell import take_rows
+
+        gathered = take_rows(v_full, cols_blk.reshape(-1))
         gathered = gathered.reshape(*cols_blk.shape, v_full.shape[1])
         out = jnp.sum(
             vals_blk[:, :, None].astype(v_full.dtype) * gathered, axis=1
@@ -220,8 +222,10 @@ def _rowwise_spmm(mesh, ax, gather, has_tail, m_padded,
         if has_tail:
             # Overflow entries: local partial over the full height, then
             # reduce-scatter back onto the row shards.
-            prods = tv_blk[:, None].astype(v_full.dtype) * jnp.take(
-                v_full, tc_blk, axis=0
+            from ..ops.ell import take_rows as _tr
+
+            prods = tv_blk[:, None].astype(v_full.dtype) * _tr(
+                v_full, tc_blk
             )
             partial_out = jax.ops.segment_sum(
                 prods, tr_blk, num_segments=m_padded
@@ -341,7 +345,9 @@ class NonZeroElement(Strategy):
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _nnz_spmm(mesh, ax, m_padded, scatter, values, rows, cols, v):
     def body(values_blk, rows_blk, cols_blk, v_full):
-        gathered = jnp.take(v_full, cols_blk, axis=0)
+        from ..ops.ell import take_rows
+
+        gathered = take_rows(v_full, cols_blk)
         prods = values_blk[:, None].astype(v_full.dtype) * gathered
         partial_out = jax.ops.segment_sum(
             prods, rows_blk, num_segments=m_padded, indices_are_sorted=False
