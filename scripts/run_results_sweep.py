@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Full results sweep on the local accelerator (writes results/).
+
+Run from the repo root (background recommended; ~60-75 min on one v5e):
+    nohup python scripts/run_results_sweep.py > /tmp/sweep.log 2>&1 &
+Resumes from results/tpu_v5e_sweep.csv if interrupted.
+"""
+import jax.numpy as jnp
+from sparsematrixmultiplicationmpi_tpu.bench.harness import sweep, write_json
+from sparsematrixmultiplicationmpi_tpu.bench.plots import render_all
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    banded_csr, cage4_like, cop20k_like, powerlaw_csr, random_csr)
+
+matrices = {
+    "cage4_like": cage4_like().astype(jnp.float32),
+    "fem_banded_100k": banded_csr(100_000, 150, 18, seed=11).astype(jnp.float32),
+    "powerlaw_100k": powerlaw_csr(100_000, 100_000, 1_500_000, seed=12).astype(jnp.float32),
+    "uniform_random_100k": random_csr(100_000, 100_000, 1_200_000, seed=13).astype(jnp.float32),
+    "cop20k_like": cop20k_like().astype(jnp.float32),
+}
+records = sweep(
+    matrices, ks=[1, 6, 12, 32],
+    strategy_names=["row", "column", "nnz", "auto", "library"],
+    device_counts=[1], warmup=1, iters=2, amortized=True,
+    checkpoint_csv="results/tpu_v5e_sweep.csv",
+    resume_from="results/tpu_v5e_sweep.csv",
+    progress=lambda r: print(
+        f"{r.matrix} k={r.k} {r.strategy}: {r.execution_time*1e3:.3f} ms "
+        f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}",
+        flush=True),
+)
+write_json("results/tpu_v5e_sweep.json", records,
+           hardware="TPU v5e (1 chip)", note="amortized steady-state timing")
+paths = render_all(records, "results/figures")
+print(f"{len(records)} records, {len(paths)} figures", flush=True)
