@@ -203,10 +203,8 @@ def _banded_row_spmm(mesh, ax, gather, has_spill, r, band, spill_cols,
             # Off-band entries may reference any fat-vector row: gather the
             # full vector once (the halo-all-gather configuration), then run
             # the local ELL rows against it.
-            from ..ops.ell import take_rows
-
             v_full = jax.lax.all_gather(v_blk, ax, tiled=True)
-            gathered = take_rows(v_full, scols_blk.reshape(-1))
+            gathered = jnp.take(v_full, scols_blk.reshape(-1), axis=0)
             gathered = gathered.reshape(*scols_blk.shape, k)
             out = out + jnp.sum(
                 svals_blk[:, :, None].astype(v_blk.dtype) * gathered, axis=1
