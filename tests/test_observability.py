@@ -74,3 +74,18 @@ def test_render_report(tmp_path):
     assert "Correctness" in text
     assert "vs the reference" in text  # cop20k-named matrix comparison
     assert (tmp_path / "REPORT.md").exists()
+
+
+def test_time_fn_amortized():
+    import jax.numpy as jnp
+    from sparsematrixmultiplicationmpi_tpu.utils.timing import (
+        time_fn_amortized,
+    )
+
+    v = jnp.ones((64, 8))
+    w = jnp.full((8, 8), 2.0)
+    per, result = time_fn_amortized(
+        lambda vv, ww: vv @ ww, v, w, inner=4, warmup=1, iters=1
+    )
+    assert per > 0
+    np.testing.assert_allclose(np.asarray(result), np.asarray(v @ w))
