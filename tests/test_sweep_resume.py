@@ -66,3 +66,25 @@ def test_checkpoint_and_resume(tmp_path):
     with open(path) as f:
         rows = list(csv.DictReader(f))
     assert {r["strategy"] for r in rows} == {"row_wise", "nnz"}
+
+
+def test_cli_sweep_resume(tmp_path, capsys):
+    from sparsematrixmultiplicationmpi_tpu.cli import main as cli_main
+
+    csv_path = str(tmp_path / "s.csv")
+    rc = cli_main(["sweep", "synthetic:cage4", "--k", "1",
+                   "--devices", "1", "--strategy", "row",
+                   "--iters", "1", "--csv", csv_path])
+    assert rc == 0
+    with open(csv_path) as f:
+        n_before = len(f.readlines())
+    # Resume with an extra strategy: only the new job runs and appends.
+    rc = cli_main(["sweep", "synthetic:cage4", "--k", "1",
+                   "--devices", "1", "--strategy", "row", "nnz",
+                   "--iters", "1", "--csv", csv_path, "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "nnz" in out
+    with open(csv_path) as f:
+        rows = f.readlines()
+    assert len(rows) == n_before + 1
