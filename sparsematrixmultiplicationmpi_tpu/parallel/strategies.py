@@ -254,20 +254,22 @@ class ColumnWise(Strategy):
 
     name = "column_wise"
 
-    def __init__(self, **bucket_kwargs):
-        self.bucket_kwargs = bucket_kwargs
+    def __init__(self, **format_kwargs):
+        self.format_kwargs = format_kwargs
 
     def prepare(self, csr: CSR, mesh: Mesh):
-        from ..formats.matrix import BucketedELL
+        # The matrix is replicated per device (as the reference replicates
+        # it per rank), so each device runs the best single-device format
+        # for its k-slice — band-dense where the structure allows.
+        from ..ops.auto import auto_format
 
-        bell = BucketedELL.from_csr(csr, **self.bucket_kwargs)
-        replicated = jax.tree.map(
+        operand = auto_format(csr, **self.format_kwargs)
+        return jax.tree.map(
             lambda x: jax.device_put(
                 x, NamedSharding(mesh, P(*([None] * np.ndim(x))))
             ),
-            bell,
+            operand,
         )
-        return replicated
 
     def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
@@ -281,23 +283,27 @@ class ColumnWise(Strategy):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
-def _colwise_spmm(mesh, ax, gather, bell, v):
-    from ..ops.ell import spmm_bucketed
+def _colwise_spmm(mesh, ax, gather, operand, v):
+    from ..ops.auto import spmm_any
 
-    def body(bell_full, v_blk):
-        out = spmm_bucketed(bell_full, v_blk)
+    def body(operand_full, v_blk):
+        # Pallas off inside shard_map: the per-slice k is rarely
+        # sublane-aligned and the XLA band einsum is equally fast.
+        out = spmm_any(operand_full, v_blk, use_pallas=False)
         if gather:
             out = jax.lax.all_gather(out, ax, axis=1, tiled=True)
         return out
 
-    bell_specs = jax.tree.map(lambda x: P(*([None] * np.ndim(x))), bell)
+    operand_specs = jax.tree.map(
+        lambda x: P(*([None] * np.ndim(x))), operand
+    )
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(bell_specs, P(None, ax)),
+        in_specs=(operand_specs, P(None, ax)),
         out_specs=P(None, None) if gather else P(None, ax),
         check_vma=False,
-    )(bell, v)
+    )(operand, v)
 
 
 class NonZeroElement(Strategy):
