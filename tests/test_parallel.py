@@ -203,3 +203,21 @@ def test_auto_multidevice_dispatch(mesh):
     assert isinstance(op2, HybridRowOperand)
     out, oracle = _run(auto, scattered, 4, mesh)
     assert max_abs_error(out, oracle) < 1e-9
+
+
+def test_bf16_through_strategies(mesh):
+    """bf16 values flow through the distributed strategies (TPU-native
+    production dtype), with bf16-scale accuracy vs the f64 oracle."""
+    csr = banded_csr(96, 4, 3, seed=320).astype(jnp.bfloat16)
+    v = jnp.asarray(generate_fat_vector(96, 4, seed=321), jnp.bfloat16)
+    from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+    oracle = spmm_host_f64(csr, np.asarray(v, np.float64))
+    scale = max(float(np.max(np.abs(oracle))), 1.0)
+    for strat in (RowWise(), NonZeroElement()):
+        operand = strat.prepare(csr, mesh)
+        out = np.asarray(
+            strat.spmm(operand, v, mesh), np.float64
+        )
+        rel = float(np.max(np.abs(out - oracle))) / scale
+        assert rel < 5e-2, (strat.name, rel)
