@@ -122,8 +122,17 @@ def band_matmul_pallas(band: jax.Array, v_pad_t: jax.Array, *,
 
 
 def spmm_banded_pallas(bb: BandedBlocks, v: jax.Array, *,
-                       interpret: bool = False) -> jax.Array:
-    """Drop-in Pallas variant of ``spmm_banded``."""
+                       interpret: bool | None = None) -> jax.Array:
+    """Drop-in Pallas variant of ``spmm_banded``.
+
+    ``interpret=None`` auto-selects: compiled on accelerator backends,
+    interpreter mode on CPU (correct everywhere, fast where it matters).
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform == "cpu"
+        except Exception:
+            interpret = True
     m, n = bb.shape
     r = bb.block_rows
     nb = bb.n_blocks
