@@ -106,7 +106,7 @@ def band_matmul_pallas(band: jax.Array, v_pad_t: jax.Array, *,
         in_specs=[
             pl.BlockSpec((1, r, c3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM; manual DMA
         ],
         out_specs=pl.BlockSpec((1, r, k), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
