@@ -27,7 +27,7 @@ from ..io.generate import generate_fat_vector
 from ..parallel.mesh import make_mesh
 from ..parallel.strategies import Strategy, get_strategy
 from ..utils.compare import are_matrices_equal, default_tolerance, max_abs_error
-from ..utils.timing import time_fn, time_fn_amortized
+from ..utils.timing import measure_amortized, time_fn
 
 __all__ = ["BenchRecord", "run_benchmark", "sweep", "write_csv", "write_json",
            "roofline_bytes", "roofline_seconds"]
@@ -83,7 +83,9 @@ class BenchRecord:
     k: int
     strategy: str
     devices: int
-    execution_time: float          # best-of-iters kernel wall time
+    execution_time: float          # best-of-iters kernel wall time; NaN
+                                   # when below timing resolution OR failed
+                                   # (failed rows also have correct=False)
     prepare_time: float            # format conversion + device placement
     correct: Optional[bool]        # vs sequential oracle ("Results are the
                                    # same!/different!" analog)
@@ -97,6 +99,9 @@ class BenchRecord:
     comp_time: Optional[float] = None  # result-left-sharded time
     comm_time: Optional[float] = None  # gather-collective estimate
                                        # (results_debug.csv analog)
+    time_upper_bound: Optional[float] = None  # honest bound when the
+                                              # two-point slope is below
+                                              # timing resolution
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -132,15 +137,18 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
     jax.block_until_ready(jax.tree.leaves(operand))
     prepare_time = time.perf_counter() - t0
 
+    upper_bound = None
     if amortized:
         # The operand travels as a jit *argument* (not a closure constant:
         # host-resident leaves would be baked into the HLO).
-        best, out = time_fn_amortized(
+        timing, out = measure_amortized(
             lambda vv, op: strategy.spmm(
                 op, vv, mesh, gather_result=gather_result
             ),
             v, operand, inner=inner, warmup=warmup, iters=iters,
         )
+        best = timing.seconds_per_iter  # NaN when below resolution
+        upper_bound = timing.upper_bound
         out = jax.block_until_ready(out)
     else:
         best, out = time_fn(
@@ -176,17 +184,21 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
     nnz = csr.nnz
     kind = _device_kind()
     sol = roofline_seconds(nnz, m, n, k, csr.values.dtype, kind)
+    resolved = best == best and best > 0  # not NaN, positive
     return BenchRecord(
         matrix=matrix_name, m=m, n=n, nnz=nnz, k=k,
         strategy=strategy.name, devices=int(mesh.devices.size),
         execution_time=best, prepare_time=prepare_time,
         correct=correct, max_error=err,
-        gflops=2.0 * nnz * k / best / 1e9,
-        gnnz_per_s=nnz / best / 1e9,
-        roofline_fraction=sol / best if best > 0 else None,
+        # Derived rates are only meaningful for resolved timings — a
+        # sub-resolution slope once shipped as "1.7e6 Gnnz/s" in REPORT.md.
+        gflops=2.0 * nnz * k / best / 1e9 if resolved else float("nan"),
+        gnnz_per_s=nnz / best / 1e9 if resolved else float("nan"),
+        roofline_fraction=sol / best if resolved else None,
         dtype=str(csr.values.dtype), device_kind=kind,
         gathered=gather_result,
         comp_time=comp_time, comm_time=comm_time,
+        time_upper_bound=upper_bound,
     )
 
 
@@ -291,7 +303,7 @@ CSV_COLUMNS = [
     "matrix", "m", "n", "nnz", "k", "strategy", "devices",
     "execution_time", "prepare_time", "correct", "max_error",
     "gflops", "gnnz_per_s", "roofline_fraction", "dtype", "device_kind",
-    "gathered", "comp_time", "comm_time",
+    "gathered", "comp_time", "comm_time", "time_upper_bound",
 ]
 
 

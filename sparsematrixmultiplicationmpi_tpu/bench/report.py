@@ -19,12 +19,31 @@ __all__ = ["render_report"]
 REFERENCE_BEST_GNNZ = 2_624_331 / 0.1023 / 1e9
 
 
-def _fmt_time(s: float) -> str:
-    if s != s:  # NaN (failed job)
-        return "failed"
+def _fmt_seconds(s: float) -> str:
     if s < 1e-3:
         return f"{s * 1e6:.0f} µs"
     return f"{s * 1e3:.3f} ms"
+
+
+def _fmt_cell(cand) -> str:
+    """Best resolved time of the candidate records; '< bound' when every
+    candidate is below timing resolution; 'failed' for failed jobs only.
+
+    A sub-resolution measurement (tiny matrices — the reference's cage4
+    class) must never render as a time or a throughput: the shipped round-1
+    report printed "0 µs = 1,748,795 Gnnz/s" for exactly this case.
+    """
+    if not cand:
+        return "—"
+    resolved = [r.execution_time for r in cand
+                if r.execution_time == r.execution_time]
+    if resolved:
+        return _fmt_seconds(min(resolved))
+    bounds = [r.time_upper_bound for r in cand
+              if r.correct is not False and r.time_upper_bound]
+    if bounds:
+        return f"< {_fmt_seconds(min(bounds))} (below resolution)"
+    return "failed"
 
 
 def render_report(records: Sequence[BenchRecord],
@@ -69,22 +88,32 @@ def render_report(records: Sequence[BenchRecord],
         for s in strategies:
             cells = []
             for k in ks:
-                cand = [r for r in sub if r.strategy == s and r.k == k]
-                cells.append(_fmt_time(min(
-                    (r.execution_time for r in cand), default=float("nan")
-                )))
+                cells.append(_fmt_cell(
+                    [r for r in sub if r.strategy == s and r.k == k]
+                ))
             lines.append(f"| {s} | " + " | ".join(cells) + " |")
-        best = min(sub, key=lambda r: r.execution_time
-                   if r.execution_time == r.execution_time else 1e9)
-        lines += [
-            "",
-            f"Best: **{best.strategy}** at k={best.k}: "
-            f"{_fmt_time(best.execution_time)} = "
-            f"{best.gnnz_per_s:.3f} Gnnz/s, {best.gflops:.1f} GFLOP/s"
-            + (f", {best.roofline_fraction * 100:.1f}% of the per-chip "
-               "roofline" if best.roofline_fraction else ""),
-            "",
-        ]
+        # "Best" considers only RESOLVED timings — sub-resolution rows have
+        # no defensible throughput.
+        resolved_sub = [r for r in sub
+                        if r.execution_time == r.execution_time]
+        if resolved_sub:
+            best = min(resolved_sub, key=lambda r: r.execution_time)
+            lines += [
+                "",
+                f"Best: **{best.strategy}** at k={best.k}: "
+                f"{_fmt_seconds(best.execution_time)} = "
+                f"{best.gnnz_per_s:.3f} Gnnz/s, {best.gflops:.1f} GFLOP/s"
+                + (f", {best.roofline_fraction * 100:.1f}% of the per-chip "
+                   "roofline" if best.roofline_fraction else ""),
+                "",
+            ]
+        else:
+            lines += [
+                "",
+                "All timings below measurement resolution (matrix too "
+                "small for the per-chip timer) — no throughput claimed.",
+                "",
+            ]
         if "cop20k" in mat:
             k32 = [r for r in sub if r.k == 32 and
                    r.execution_time == r.execution_time]

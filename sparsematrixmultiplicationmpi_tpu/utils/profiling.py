@@ -48,14 +48,21 @@ def comm_comp_split(strategy, operand, v, mesh, *, inner: int = 10,
     result-aggregation collective — the reference's "communication time"
     (``RowWise.cpp:89-98``), measured without wall-clocked barriers.
     """
-    from .timing import time_fn_amortized
+    from .timing import measure_amortized
 
-    t_total, _ = time_fn_amortized(
-        lambda vv, op: strategy.spmm(op, vv, mesh, gather_result=True),
-        v, operand, inner=inner, warmup=warmup, iters=iters,
-    )
-    t_comp, _ = time_fn_amortized(
-        lambda vv, op: strategy.spmm(op, vv, mesh, gather_result=False),
-        v, operand, inner=inner, warmup=warmup, iters=iters,
-    )
+    def per_iter(gather):
+        timing, _ = measure_amortized(
+            lambda vv, op: strategy.spmm(op, vv, mesh,
+                                         gather_result=gather),
+            v, operand, inner=inner, warmup=warmup, iters=iters,
+        )
+        # Sub-resolution slopes fall back to the chained upper bound: both
+        # variants are measured identically, so the *difference* (the comm
+        # estimate) stays meaningful even when each absolute number is only
+        # a bound.
+        return (timing.seconds_per_iter if timing.resolved
+                else timing.upper_bound)
+
+    t_total = per_iter(True)
+    t_comp = per_iter(False)
     return t_total, t_comp, max(t_total - t_comp, 0.0)

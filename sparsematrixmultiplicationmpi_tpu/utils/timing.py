@@ -18,7 +18,8 @@ from typing import Dict, List
 
 import jax
 
-__all__ = ["PhaseTimer", "Timing", "time_fn"]
+__all__ = ["PhaseTimer", "Timing", "time_fn", "measure_amortized",
+           "AmortizedTiming", "time_fn_amortized"]
 
 
 @dataclasses.dataclass
@@ -102,7 +103,29 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 5, **kwargs):
     return best, result
 
 
-def time_fn_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
+@dataclasses.dataclass
+class AmortizedTiming:
+    """Result of a two-point amortized measurement.
+
+    ``seconds_per_iter`` is NaN when the measurement is below the timing
+    resolution (the two-point slope is smaller than the run-to-run noise of
+    its own endpoints) — a sub-resolution kernel must surface as
+    "< upper_bound", never as a garbage throughput number (a 49-nnz matrix
+    once printed 1.7e6 Gnnz/s in a shipped report). ``upper_bound`` is
+    always a valid bound: the full chained wall time divided by the chain
+    length, which includes dispatch overhead and therefore cannot
+    understate the kernel time.
+    """
+
+    seconds_per_iter: float   # NaN when below resolution
+    upper_bound: float        # t_hi / inner — always >= the true per-iter
+    resolved: bool
+    t_lo: float               # best wall time of the 1-iteration chain
+    t_hi: float               # best wall time of the `inner`-iteration chain
+    noise: float              # endpoint run-to-run spread (median - best)
+
+
+def measure_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
                       iters: int = 3, calibrate: bool = True):
     """Steady-state per-call time of ``fn(v, *args) -> array``.
 
@@ -117,7 +140,18 @@ def time_fn_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
     larger jitted program, dispatched once) rather than per-call dispatch
     overhead — the distinction the reference never had to make because MPI
     dispatch is nanoseconds while a remote TPU runtime's is milliseconds.
-    Returns (seconds_per_iteration, last_result).
+
+    When the slope is indistinguishable from measurement noise (tiny
+    matrices whose whole chain runs inside the dispatch envelope — the
+    reference's cage4 class), the timing is flagged unresolved instead of
+    clamped to a fake floor. Returns (AmortizedTiming, last_result).
+
+    If the operand supports the permuted-space iteration protocol
+    (``encode``/``iterate``/``decode`` — see ``ops/auto.spmm_any``), pass
+    the *iterate* body here and keep encode/decode outside: the two-point
+    slope then measures exactly the marginal cost of one more multiply,
+    with one-time transforms cancelled — the quantity an iterative solver
+    pays per step.
     """
     import jax.numpy as jnp
 
@@ -137,24 +171,49 @@ def time_fn_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
             return acc
         return run
 
-    def best_time(run):
+    def stats(run):
         # Fence with a VALUE FETCH of the chained scalar, not
         # block_until_ready: on remote runtimes the ready event can be
         # signaled optimistically, while a fetch is a true round trip that
         # cannot complete before the computation has.
         for _ in range(max(warmup, 1)):
             float(run(v, *args))
-        best = float("inf")
+        times = []
         for _ in range(max(iters, 1)):
             t0 = time.perf_counter()
             float(run(v, *args))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        best = times[0]
+        noise = times[len(times) // 2] - best  # median - best spread
+        return best, noise
 
-    t_hi = best_time(chain(inner))
+    t_hi, noise_hi = stats(chain(inner))
     if calibrate:
-        t_lo = best_time(chain(1))
-        per = max((t_hi - t_lo) / (inner - 1), 1e-9)
+        t_lo, noise_lo = stats(chain(1))
+        slope = (t_hi - t_lo) / (inner - 1)
+        # Resolution floor: the slope must exceed the endpoints' own
+        # run-to-run spread (plus a perf_counter granularity guard) to mean
+        # anything. Below it, report unresolved with an honest upper bound.
+        resolution = max((noise_hi + noise_lo) / (inner - 1), 1e-7)
+        resolved = slope > resolution
+        per = slope if resolved else float("nan")
+        noise = noise_hi + noise_lo
     else:
-        per = t_hi / inner
-    return per, fn(v, *args)
+        t_lo, per, resolved, noise = float("nan"), t_hi / inner, True, noise_hi
+    timing = AmortizedTiming(
+        seconds_per_iter=per, upper_bound=t_hi / inner,
+        resolved=resolved, t_lo=t_lo, t_hi=t_hi, noise=noise,
+    )
+    return timing, fn(v, *args)
+
+
+def time_fn_amortized(fn, v, *args, inner: int = 20, warmup: int = 1,
+                      iters: int = 3, calibrate: bool = True):
+    """Back-compat wrapper over :func:`measure_amortized` returning
+    ``(seconds_per_iteration, last_result)``; NaN when below resolution."""
+    timing, result = measure_amortized(
+        fn, v, *args, inner=inner, warmup=warmup, iters=iters,
+        calibrate=calibrate,
+    )
+    return timing.seconds_per_iter, result

@@ -79,13 +79,71 @@ def test_render_report(tmp_path):
 def test_time_fn_amortized():
     import jax.numpy as jnp
     from sparsematrixmultiplicationmpi_tpu.utils.timing import (
-        time_fn_amortized,
+        measure_amortized, time_fn_amortized,
     )
 
     v = jnp.ones((64, 8))
     w = jnp.full((8, 8), 2.0)
-    per, result = time_fn_amortized(
-        lambda vv, ww: vv @ ww, v, w, inner=4, warmup=1, iters=1
+    timing, result = measure_amortized(
+        lambda vv, ww: vv @ ww, v, w, inner=4, warmup=1, iters=3
     )
-    assert per > 0
+    # Tiny kernels may legitimately be below timing resolution; either way
+    # the contract holds: a resolved slope is positive, an unresolved one
+    # is NaN, and the upper bound is always a positive valid bound.
+    if timing.resolved:
+        assert timing.seconds_per_iter > 0
+    else:
+        assert timing.seconds_per_iter != timing.seconds_per_iter  # NaN
+    assert timing.upper_bound > 0
     np.testing.assert_allclose(np.asarray(result), np.asarray(v @ w))
+    # Back-compat wrapper returns the (possibly NaN) scalar.
+    per, result2 = time_fn_amortized(
+        lambda vv, ww: vv @ ww, v, w, inner=4, warmup=1, iters=3
+    )
+    assert per > 0 or per != per
+    np.testing.assert_allclose(np.asarray(result2), np.asarray(v @ w))
+
+
+def test_amortized_resolves_substantial_kernel():
+    """A kernel with real per-iteration cost must produce a resolved,
+    positive slope (guards against over-aggressive NaN-ing)."""
+    import jax.numpy as jnp
+    from sparsematrixmultiplicationmpi_tpu.utils.timing import (
+        measure_amortized,
+    )
+
+    v = jnp.ones((768, 768))
+    w = jnp.ones((768, 768))
+    timing, _ = measure_amortized(
+        lambda vv, ww: vv @ ww, v, w, inner=16, warmup=1, iters=3
+    )
+    assert timing.resolved
+    assert 0 < timing.seconds_per_iter <= timing.upper_bound * 1.5
+
+
+def test_report_renders_below_resolution_rows():
+    """Sub-resolution rows must render as '< bound', never as a time or a
+    throughput (the round-1 REPORT.md printed 1.7e6 Gnnz/s for a 49-nnz
+    matrix — VERDICT weak #2)."""
+    from sparsematrixmultiplicationmpi_tpu.bench.harness import BenchRecord
+    from sparsematrixmultiplicationmpi_tpu.bench.report import render_report
+
+    nan = float("nan")
+    common = dict(matrix="cage4_like", m=9, n=9, nnz=49, k=1,
+                  devices=1, prepare_time=0.01, max_error=0.0,
+                  roofline_fraction=None, dtype="float64",
+                  device_kind="cpu", gathered=True)
+    sub = BenchRecord(strategy="auto", execution_time=nan, correct=True,
+                      gflops=nan, gnnz_per_s=nan,
+                      time_upper_bound=3.2e-5, **common)
+    failed = BenchRecord(strategy="library", execution_time=nan,
+                         correct=False, gflops=nan, gnnz_per_s=nan,
+                         time_upper_bound=None, **common)
+    text = render_report([sub, failed])
+    assert "below resolution" in text
+    assert "failed" in text
+    assert "Gnnz/s" not in text.split("## cage4_like")[1] or \
+        "no throughput claimed" in text
+    assert "nan" not in text.lower().replace("nan_", "")
+    # And no fake 1e-9-second garbage anywhere.
+    assert "1,748,795" not in text and "0 µs" not in text
