@@ -91,34 +91,96 @@ def powerlaw_csr(m: int, n: int, nnz: int, alpha: float = 1.5,
     return _dedupe_build(rows, cols, vals, m, n)
 
 
+def fem3d_csr(m: int, target_nnz: int, seed: int = 0,
+              dtype=np.float64, shuffle: bool = True) -> CSR:
+    """Symmetric 3-D finite-element-mesh matrix.
+
+    Nodes are the first ``m`` points of an ``s x s x s`` lattice
+    (``s = ceil(m^(1/3))``); each node couples to its 27-point stencil
+    neighborhood (the assembly pattern of trilinear hexahedral elements),
+    then undirected edges are decimated uniformly at random until the
+    stored nnz matches ``target_nnz`` — modeling the irregular element
+    shapes of a real unstructured mesh while preserving the defining
+    structural property of every 3-D FEM matrix: **geometric locality**
+    (each row couples only to a ball of physically adjacent nodes, so a
+    bandwidth-reducing ordering exists with bandwidth O(m^(2/3)), the
+    mesh-plane size).
+
+    ``shuffle=True`` presents the matrix in a random node numbering, as an
+    assembled FEM file would be (the natural order of a mesh generator is
+    not banded) — recovering the banded structure is the job of
+    ``formats/reorder.py::rcm_ordering``, exactly as for the real matrix.
+    Values are uniform(-1, 1), symmetric; the diagonal is always present.
+    """
+    rng = np.random.default_rng(seed)
+    s = int(np.ceil(m ** (1.0 / 3.0)))
+    # Node -> lattice coordinates for the first m points.
+    ids = np.arange(m, dtype=np.int64)
+    x, y, z = ids % s, (ids // s) % s, ids // (s * s)
+
+    # Undirected 27-stencil edges: enumerate each of the 26 neighbor
+    # directions once via its canonical representative (13 directions with
+    # (dz, dy, dx) lexicographically positive).
+    canon = [
+        (dx, dy, dz)
+        for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if (dz, dy, dx) > (0, 0, 0)
+    ]
+    ei, ej = [], []
+    for dx, dy, dz in canon:
+        nx, ny, nz = x + dx, y + dy, z + dz
+        ok = (nx >= 0) & (nx < s) & (ny >= 0) & (ny < s) & (nz >= 0) & (nz < s)
+        nb = nx + ny * s + nz * s * s
+        ok &= nb < m
+        ei.append(ids[ok])
+        ej.append(nb[ok])
+    ei = np.concatenate(ei)
+    ej = np.concatenate(ej)
+
+    # Decimate undirected edges to hit target stored nnz
+    # (nnz = m diagonal entries + 2 * kept undirected edges).
+    target_edges = max((int(target_nnz) - m) // 2, 0)
+    if target_edges < len(ei):
+        keep = rng.permutation(len(ei))[:target_edges]
+        ei, ej = ei[keep], ej[keep]
+
+    if shuffle:
+        relabel = rng.permutation(m).astype(np.int64)
+        ei, ej = relabel[ei], relabel[ej]
+
+    rows = np.concatenate([ei, ej, np.arange(m, dtype=np.int64)])
+    cols = np.concatenate([ej, ei, np.arange(m, dtype=np.int64)])
+    # Symmetric values: one draw per undirected edge, mirrored.
+    ev = rng.uniform(-1.0, 1.0, size=len(ei)).astype(dtype)
+    dv = rng.uniform(-1.0, 1.0, size=m).astype(dtype)
+    vals = np.concatenate([ev, ev, dv])
+    return expand_and_build_csr(rows, cols, vals, m, m, symmetric=False)
+
+
 def cop20k_like(seed: int = 0, dtype=np.float64,
                 scale: float = 1.0) -> CSR:
     """Synthetic stand-in for cop20k_A: symmetric 121,192^2, ~2.62 M nnz.
 
-    Structure: banded + random off-band entries, symmetrized — similar row
-    lengths (mean ~21.7 nnz/row) to the real accelerator-physics matrix.
+    The real matrix (SuiteSparse ``Williams/cop20k_A``, cited by the
+    reference at ``report/425500_Report.tex:687`` as 121,192 x 121,192,
+    2,624,331 nnz, symmetric) is a 3-D finite-element discretization from
+    accelerator-cavity design. No network access exists here, so the
+    stand-in is generated with matched dims / nnz / symmetry / mean row
+    length (~21.7) and — this is the round-2 fidelity fix — the *FEM mesh
+    structure* of the real matrix class: a decimated 27-point-stencil 3-D
+    mesh graph (:func:`fem3d_csr`) instead of round 1's
+    80 %-band + 20 %-uniform-random model, whose random fraction had no
+    analog in any FEM matrix and artificially forced 20 % of nnz onto the
+    gather path. Row-length histogram and post-reordering bandwidth are
+    modeling assumptions consistent with 3-D FEM meshes, documented rather
+    than claimed measured (the real file's per-row stats are not published
+    in the reference).
+
     ``scale`` < 1 shrinks both dims and nnz for smoke tests.
     """
     m = max(int(121_192 * scale), 16)
-    target_half = int(2_624_331 * scale) // 2
-    rng = np.random.default_rng(seed)
-    n_band = int(target_half * 0.8)
-    rows_b = rng.integers(0, m, size=n_band)
-    offs = rng.integers(1, 200, size=n_band)
-    cols_b = np.minimum(rows_b + offs, m - 1)
-    rows_r = rng.integers(0, m, size=target_half - n_band)
-    cols_r = rng.integers(0, m, size=target_half - n_band)
-    rows = np.concatenate([rows_b, rows_r, np.arange(m)])
-    cols = np.concatenate([cols_b, cols_r, np.arange(m)])
-    lower = rows < cols  # keep lower triangle convention: swap
-    rows2 = np.where(lower, cols, rows)
-    cols2 = np.where(lower, rows, cols)
-    vals = rng.uniform(-1.0, 1.0, size=rows2.size).astype(dtype)
-    key = rows2.astype(np.int64) * m + cols2.astype(np.int64)
-    _, idx = np.unique(key, return_index=True)
-    return expand_and_build_csr(
-        rows2[idx], cols2[idx], vals[idx], m, m, symmetric=True
-    )
+    target_nnz = max(int(2_624_331 * scale), m)
+    return fem3d_csr(m, target_nnz, seed=seed, dtype=dtype)
 
 
 def cage4_like(dtype=np.float64) -> CSR:
