@@ -140,16 +140,19 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
     upper_bound = None
     if amortized:
         # The operand travels as a jit *argument* (not a closure constant:
-        # host-resident leaves would be baked into the HLO).
-        timing, out = measure_amortized(
-            lambda vv, op: strategy.spmm(
-                op, vv, mesh, gather_result=gather_result
-            ),
-            v, operand, inner=inner, warmup=warmup, iters=iters,
+        # host-resident leaves would be baked into the HLO). The chain
+        # protocol puts one-time transforms (e.g. RCM permutes) outside
+        # the timed body — the marginal cost an iterative consumer pays.
+        enc, body, dec = strategy.chain_parts(
+            operand, mesh, gather_result=gather_result
+        )
+        v_enc = jax.jit(enc)(v, operand)
+        timing, out_enc = measure_amortized(
+            body, v_enc, operand, inner=inner, warmup=warmup, iters=iters,
         )
         best = timing.seconds_per_iter  # NaN when below resolution
         upper_bound = timing.upper_bound
-        out = jax.block_until_ready(out)
+        out = jax.block_until_ready(jax.jit(dec)(out_enc, operand))
     else:
         best, out = time_fn(
             lambda: strategy.spmm(
@@ -202,6 +205,36 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
     )
 
 
+def _run_with_timeout(fn, timeout: Optional[float]):
+    """Per-job watchdog — the reference's 240 s ``qdel``
+    (``batch_test.sh:88-92``) brought in-process: the job runs in a worker
+    thread and a timeout raises ``TimeoutError`` so the sweep records the
+    job as failed and continues. (Python threads cannot be killed, so a
+    truly hung XLA call leaks its daemon thread; the reference's ``qdel``
+    killed the PBS job outright — run sweeps in a subprocess for that
+    level of isolation.)"""
+    if timeout is None:
+        return fn()
+    import threading
+
+    box: Dict[str, object] = {}
+
+    def target():
+        try:
+            box["rec"] = fn()
+        except BaseException as e:  # propagate into the caller thread
+            box["exc"] = e
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise TimeoutError(f"job exceeded {timeout} s watchdog")
+    if "exc" in box:
+        raise box["exc"]  # type: ignore[misc]
+    return box["rec"]
+
+
 def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           strategy_names: Sequence[str], device_counts: Sequence[int], *,
           warmup: int = 2, iters: int = 5, check: bool = True,
@@ -209,17 +242,19 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           comm_split: bool = False, progress=None,
           resume_from: Optional[str] = None,
           checkpoint_csv: Optional[str] = None,
-          on_error: str = "record") -> List[BenchRecord]:
+          on_error: str = "record",
+          job_timeout: Optional[float] = None) -> List[BenchRecord]:
     """Cartesian sweep (matrix x k x strategy x devices) — the
     ``batch_test.sh:9-50`` analog, in-process instead of via PBS.
 
     Failure handling (the reference's only mechanism is an external 240 s
     ``qdel`` watchdog, ``batch_test.sh:88-92``): a job that raises is
     recorded as a failed row (``on_error="record"``, default) or re-raised
-    (``"raise"``), and the sweep continues. ``checkpoint_csv`` appends each
-    record as it completes; ``resume_from`` skips (matrix, k, strategy,
-    devices) jobs already present in a previous CSV — together they give
-    kill-and-resume semantics for long sweeps.
+    (``"raise"``), and the sweep continues; ``job_timeout`` adds the
+    watchdog itself — a job exceeding it is recorded as failed.
+    ``checkpoint_csv`` appends each record as it completes; ``resume_from``
+    skips (matrix, k, strategy, devices) jobs already present in a previous
+    CSV — together they give kill-and-resume semantics for long sweeps.
     """
     done = set()
     if resume_from:
@@ -260,13 +295,17 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                         if (mat_name, k, strategy.name, p) in done:
                             continue
                         try:
-                            rec = run_benchmark(
-                                csr, k, strategy, mesh,
-                                matrix_name=mat_name,
-                                warmup=warmup, iters=iters, oracle=oracle,
-                                check=check, gather_result=gather_result,
-                                dtype=dtype, amortized=amortized,
-                                comm_split=comm_split,
+                            rec = _run_with_timeout(
+                                lambda: run_benchmark(
+                                    csr, k, strategy, mesh,
+                                    matrix_name=mat_name,
+                                    warmup=warmup, iters=iters,
+                                    oracle=oracle, check=check,
+                                    gather_result=gather_result,
+                                    dtype=dtype, amortized=amortized,
+                                    comm_split=comm_split,
+                                ),
+                                job_timeout,
                             )
                         except Exception:
                             if on_error == "raise":

@@ -83,6 +83,10 @@ def _build_parser():
                      help="steady-state per-iteration timing")
     swp.add_argument("--comm-split", action="store_true",
                      help="also measure compute vs gather-collective split")
+    swp.add_argument("--job-timeout", type=float, default=240.0,
+                     help="per-job watchdog seconds; jobs exceeding it are "
+                          "recorded as failed (the reference's 240 s qdel, "
+                          "batch_test.sh:88-92). 0 disables.")
     swp.add_argument("--resume", action="store_true",
                      help="skip jobs already present in the --csv file")
 
@@ -320,6 +324,7 @@ def cmd_sweep(args) -> int:
         matrices, args.k, args.strategy, device_counts,
         iters=args.iters, amortized=args.amortized,
         comm_split=args.comm_split,
+        job_timeout=args.job_timeout or None,
         resume_from=args.csv_path if args.resume else None,
         checkpoint_csv=args.csv_path,
         progress=lambda r: print(

@@ -1,0 +1,295 @@
+"""Windowed tile-pair storage — the general MXU-native sparse format.
+
+Round 1's ``BandedBlocks`` (``formats/banded.py``) densifies a fixed
+3-block diagonal window, which works only for matrices whose nonzeros hug
+the diagonal. Real FEM matrices — the reference's headline cop20k_A class
+(``report/425500_Report.tex:687``) — have a *hollow* band after
+bandwidth-reducing reordering: each row couples to a near-diagonal cluster
+plus clusters at ± one mesh plane (O(m^(2/3)) away), so a contiguous
+window either misses most nonzeros or explodes in size.
+
+This format generalizes the idea: the matrix is cut into ``R x C`` tiles
+(``R`` = block_rows, ``C`` = chunk_cols), and every tile that holds enough
+nonzeros to beat the measured XLA gather cost (~5 ns per gathered row on
+TPU v5e, independent of width — the "spill gather wall" of round 1) is
+stored *dense* as one ``(R, C)`` tile in a flat pair list:
+
+    tiles[p]       : (R, C) dense values
+    pair_block[p]  : which row block  (sorted ascending)
+    pair_chunk[p]  : which column chunk
+
+SpMM is then ``out[pair_block[p]] += tiles[p] @ v[pair_chunk[p]*C :][:C]``
+— pure MXU matmuls over contiguous fat-vector slabs, zero per-nonzero
+gathers, zero scatters, static shapes. Tiles below the cost threshold
+spill to the bucketed-ELL gather path, which the cost model keeps tiny on
+mesh-structured matrices (<1 % of nnz on the cop20k stand-in).
+
+The flat pair list (instead of per-block window arrays) means **no
+padding at all** across the skewed per-block window counts, and maps
+directly onto a Pallas kernel whose grid walks pairs while revisiting the
+output block (``ops/pallas_windowed.py``).
+
+An optional symmetric permutation (RCM by default for square matrices —
+``formats/reorder.py``) is applied at build time and carried in the
+operand; ``encode``/``iterate``/``decode`` expose the permuted-space
+multiply so iterative consumers (solvers, PageRank, the amortized
+benchmark) pay the boundary permutes once, exactly as the reference's
+PETSc yardstick "wins because it never regathers"
+(``report/425500_Report.tex:1092-1095``).
+
+Replaces the reference's row-wise/non-zero-element hot loops
+(``SparseMatrixFatVectorMultiplyRowWise.cpp:36-50``,
+``...NonZeroElement.cpp:54-67``) with an MXU-first design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .matrix import BucketedELL, CSR, _register, _static_field
+
+__all__ = ["WindowedPairs", "windowed_cost_estimate"]
+
+#: Measured TPU v5e constants driving the dense/spill split (CLAUDE.md
+#: "Measured TPU v5e facts"): XLA row gather ~4.8 ns/row regardless of
+#: width; streaming at ~819 GB/s HBM bandwidth.
+HBM_BW = 819e9
+GATHER_S_PER_ROW = 4.8e-9
+
+
+def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
+    """Streaming cost of one dense tile: the tile itself plus its
+    fat-vector slab (amortized per pair)."""
+    return (R * C * itemsize + C * k_nominal * 4) / HBM_BW
+
+
+def _pair_counts(i, j, R: int, C: int, n_chunks: int):
+    """Unique (row-block, column-chunk) pairs with nnz counts."""
+    key = (i // R).astype(np.int64) * n_chunks + (j // C).astype(np.int64)
+    uniq, inverse, counts = np.unique(
+        key, return_inverse=True, return_counts=True
+    )
+    return key, uniq, inverse, counts
+
+
+def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
+                           itemsize: int, k_nominal: int = 32):
+    """Estimated per-SpMM seconds for tile size (R, C) with the optimal
+    dense/spill threshold, plus the threshold and tile stats.
+
+    est = dense_pairs * pair_stream_cost + spill_nnz * gather_cost
+          + output write. Pure host-side numpy (build-time only).
+    """
+    n_chunks = -(-n // C)
+    _, uniq, _, counts = _pair_counts(i, j, R, C, n_chunks)
+    pair_cost = _pair_cost_s(R, C, itemsize, k_nominal)
+    threshold = pair_cost / GATHER_S_PER_ROW  # nnz above which dense wins
+    dense = counts > threshold
+    spill_nnz = int(counts[~dense].sum())
+    est = (int(dense.sum()) * pair_cost
+           + spill_nnz * GATHER_S_PER_ROW
+           + m * k_nominal * 4 / HBM_BW)
+    return est, threshold, dense, uniq, counts
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class WindowedPairs:
+    """Flat list of dense (R, C) tiles plus bucketed-ELL spill.
+
+    ``tiles[p, r, c]`` holds the entry at permuted coordinates
+    ``(pair_block[p]*R + r, pair_chunk[p]*C + c)``. ``pair_block`` is
+    sorted ascending (the Pallas kernel requires each output block's pairs
+    to be contiguous). ``perm`` is the optional symmetric permutation
+    applied at build time (``perm[k]`` = original index at permuted
+    position ``k``); ``None`` leaves coordinates as-given.
+    """
+
+    tiles: jax.Array                # (P, R, C)
+    pair_block: jax.Array           # (P,) int32, ascending
+    pair_chunk: jax.Array           # (P,) int32
+    spill: Optional[BucketedELL]
+    perm: Optional[jax.Array]       # (m,) int32 or None
+    inv_perm: Optional[jax.Array]   # (m,) int32 or None
+    shape: Tuple[int, int] = _static_field()
+    block_rows: int = _static_field()
+    chunk_cols: int = _static_field()
+    est_seconds: float = _static_field()  # cost-model estimate (k=32)
+
+    @property
+    def dtype(self):
+        return self.tiles.dtype
+
+    @property
+    def n_pairs(self) -> int:
+        return int(self.tiles.shape[0])
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.shape[0] // self.block_rows)
+
+    @property
+    def dense_bytes(self) -> int:
+        return int(self.tiles.size) * self.tiles.dtype.itemsize
+
+    def astype(self, dtype) -> "WindowedPairs":
+        return dataclasses.replace(
+            self,
+            tiles=self.tiles.astype(dtype),
+            spill=None if self.spill is None else self.spill.astype(dtype),
+        )
+
+    # ---- permuted-space iteration protocol ---------------------------
+    # encode once -> iterate many -> decode once: an iterative consumer
+    # pays the boundary permutes once, not per multiply.
+    def encode(self, v: jax.Array) -> jax.Array:
+        """Map a fat vector into the operand's (permuted) column space."""
+        if self.perm is None:
+            return v
+        return jnp.take(v, self.perm, axis=0)
+
+    def decode(self, out_p: jax.Array) -> jax.Array:
+        """Map a permuted-space result back to original row order."""
+        if self.inv_perm is None:
+            return out_p
+        return jnp.take(out_p, self.inv_perm, axis=0)
+
+    def iterate(self, v_p: jax.Array) -> jax.Array:
+        """Permuted-space SpMM (the chainable hot body)."""
+        from ..ops.windowed import spmm_windowed_core
+
+        return spmm_windowed_core(self, v_p)
+
+    def __matmul__(self, v):
+        from ..ops.windowed import spmm_windowed
+
+        return spmm_windowed(self, v)
+
+    # ---- construction -------------------------------------------------
+    @classmethod
+    def from_csr(cls, csr: CSR, *, block_rows: Optional[int] = None,
+                 chunk_cols: int = 128, reorder: str | None = "auto",
+                 candidates=(64, 128), k_nominal: int = 32,
+                 max_inflation: float = 96.0,
+                 beat_gather_margin: float = 0.8
+                 ) -> Optional["WindowedPairs"]:
+        """Build windowed storage; returns ``None`` when no tile
+        configuration beats the pure gather path by ``beat_gather_margin``
+        (caller falls back to ``BucketedELL``).
+
+        ``reorder="auto"`` applies RCM when the matrix is square and the
+        reordered tiling estimates cheaper; ``None`` disables.
+        """
+        m, n = csr.shape
+        if m == 0 or csr.nnz == 0:
+            return None
+        itemsize = np.asarray(csr.values).dtype.itemsize
+        C = int(chunk_cols)
+        if C % 128:
+            raise ValueError(f"chunk_cols must be a multiple of 128, got {C}")
+
+        coo = csr.to_coo()
+        i0 = np.asarray(coo.row_indices).astype(np.int64)
+        j0 = np.asarray(coo.col_indices).astype(np.int64)
+        vals = np.asarray(coo.values)
+
+        # Candidate orderings: as-given, plus RCM for square matrices.
+        orderings = [(None, i0, j0)]
+        if reorder == "auto" and m == n:
+            from .reorder import rcm_ordering
+
+            perm = rcm_ordering(csr)
+            inv = np.empty(m, dtype=np.int64)
+            inv[perm] = np.arange(m)
+            orderings.append((perm, inv[i0], inv[j0]))
+
+        gather_est = csr.nnz * GATHER_S_PER_ROW  # pure-ELL estimate
+        best = None
+        r_candidates = candidates if block_rows is None else (block_rows,)
+        for perm, i, j in orderings:
+            for R in r_candidates:
+                if R % 8 or R > max(m, 8):
+                    continue
+                est, threshold, dense, uniq, counts = windowed_cost_estimate(
+                    i, j, m, n, R, C, itemsize, k_nominal
+                )
+                tile_bytes = int(dense.sum()) * R * C * itemsize
+                if tile_bytes > max_inflation * csr.nnz * itemsize:
+                    continue
+                if best is None or est < best[0]:
+                    best = (est, R, perm, i, j, dense, uniq, counts)
+        if best is None:
+            return None
+        est, R, perm, i, j, dense, uniq, counts = best
+        if est > beat_gather_margin * gather_est or not dense.any():
+            return None
+
+        n_chunks = -(-n // C)
+        key = (i // R).astype(np.int64) * n_chunks + (j // C).astype(np.int64)
+        # Map each nnz to its pair id (position in the sorted unique keys).
+        pair_of_entry = np.searchsorted(uniq, key)
+        dense_ids = np.nonzero(dense)[0]
+        remap = np.full(len(uniq), -1, dtype=np.int64)
+        remap[dense_ids] = np.arange(len(dense_ids))
+        p_entry = remap[pair_of_entry]
+        in_dense = p_entry >= 0
+
+        P = len(dense_ids)
+        tiles = np.zeros((P, R, C), dtype=vals.dtype)
+        tiles[p_entry[in_dense], i[in_dense] % R, j[in_dense] % C] = \
+            vals[in_dense]
+        pair_block = (uniq[dense_ids] // n_chunks).astype(np.int32)
+        pair_chunk = (uniq[dense_ids] % n_chunks).astype(np.int32)
+
+        spill = None
+        if (~in_dense).any():
+            from .matrix import COO
+
+            spill_coo = COO.from_arrays(
+                vals[~in_dense], i[~in_dense], j[~in_dense], (m, n)
+            )
+            # Off-tile stragglers are short rows: fine-grained bucket
+            # widths cut padded gather rows (gather is per-row-bound).
+            spill = BucketedELL.from_csr(
+                spill_coo.to_csr(), width_align=4, max_buckets=12
+            )
+
+        inv_perm = None
+        if perm is not None:
+            inv_perm = np.empty(m, dtype=np.int32)
+            inv_perm[perm] = np.arange(m, dtype=np.int32)
+            perm = perm.astype(np.int32)
+        return cls(
+            tiles=tiles, pair_block=pair_block, pair_chunk=pair_chunk,
+            spill=spill, perm=perm, inv_perm=inv_perm,
+            shape=(m, n), block_rows=R, chunk_cols=C,
+            est_seconds=float(est),
+        )
+
+    def to_dense(self) -> jax.Array:
+        """Dense (original-order) reconstruction — test/debug only."""
+        m, n = self.shape
+        R, C = self.block_rows, self.chunk_cols
+        tiles = np.asarray(self.tiles)
+        pb = np.asarray(self.pair_block).astype(np.int64)
+        pc = np.asarray(self.pair_chunk).astype(np.int64)
+        nb = self.n_blocks
+        n_chunks = -(-n // C)
+        out = np.zeros((nb * R, n_chunks * C), dtype=tiles.dtype)
+        for p in range(len(pb)):
+            out[pb[p] * R:(pb[p] + 1) * R,
+                pc[p] * C:(pc[p] + 1) * C] += tiles[p]
+        out = out[:m, :n]
+        if self.spill is not None:
+            out = out + np.asarray(self.spill.to_dense())
+        if self.perm is not None:
+            perm = np.asarray(self.perm).astype(np.int64)
+            unperm = np.zeros_like(out)
+            unperm[np.ix_(perm, perm)] = out
+            out = unperm
+        return jnp.asarray(out)

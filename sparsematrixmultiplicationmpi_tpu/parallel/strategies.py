@@ -99,6 +99,30 @@ class Strategy(abc.ABC):
              gather_result: bool = True) -> jax.Array:
         """Distributed SpMM. ``v`` is an ``(n, k)`` dense fat vector."""
 
+    def chain_parts(self, operand, mesh: Mesh, *,
+                    gather_result: bool = True):
+        """(encode, body, decode) for iterated use: ``encode`` once, chain
+        ``body``, ``decode`` once. Each takes ``(x, operand)``.
+
+        Default: identity boundaries around ``spmm``. Strategies whose
+        operand carries a one-time transform (e.g. the RCM permutation of
+        ``WindowedPairs``) override so iterative consumers — and the
+        amortized benchmark, which measures exactly the marginal cost of
+        one more multiply — pay the boundary transforms once, the
+        never-regather lesson of the reference's PETSc path
+        (``report/425500_Report.tex:1092-1095``).
+        """
+        def enc(v, op):
+            return v
+
+        def body(vv, op):
+            return self.spmm(op, vv, mesh, gather_result=gather_result)
+
+        def dec(out, op):
+            return out
+
+        return enc, body, dec
+
 
 class Sequential(Strategy):
     """Single-device oracle (reference sequential kernel,
@@ -437,6 +461,20 @@ class Auto(Strategy):
                 operand, v, mesh, gather_result=gather_result
             )
         return _jit_auto(operand, v)
+
+    def chain_parts(self, operand, mesh: Mesh, *,
+                    gather_result: bool = True):
+        from ..formats.windowed import WindowedPairs
+
+        if isinstance(operand, WindowedPairs):
+            return (
+                lambda v, op: op.encode(v),
+                lambda vv, op: op.iterate(vv),
+                lambda out, op: op.decode(out),
+            )
+        return super().chain_parts(
+            operand, mesh, gather_result=gather_result
+        )
 
 
 @jax.jit

@@ -88,3 +88,40 @@ def test_cli_sweep_resume(tmp_path, capsys):
     with open(csv_path) as f:
         rows = f.readlines()
     assert len(rows) == n_before + 1
+
+
+def test_sweep_watchdog_kills_hung_job(tmp_path):
+    """A deliberately-hung job must be recorded as failed within the
+    per-job timeout while the sweep continues — the in-process analog of
+    the reference's 240 s qdel (batch_test.sh:88-92)."""
+    import time
+
+    from sparsematrixmultiplicationmpi_tpu.bench.harness import sweep
+    from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+    from sparsematrixmultiplicationmpi_tpu.parallel.strategies import (
+        STRATEGIES, RowWise,
+    )
+
+    class Hung(RowWise):
+        name = "hung"
+
+        def prepare(self, csr, mesh):
+            time.sleep(60)
+            return super().prepare(csr, mesh)
+
+    STRATEGIES["hung"] = Hung
+    try:
+        mats = {"a": random_csr(30, 30, 120, seed=7)}
+        t0 = time.time()
+        records = sweep(mats, ks=[1], strategy_names=["hung", "row"],
+                        device_counts=[1], warmup=1, iters=1,
+                        job_timeout=2.0)
+        elapsed = time.time() - t0
+    finally:
+        del STRATEGIES["hung"]
+    assert elapsed < 30
+    assert [r.strategy for r in records] == ["hung", "row_wise"]
+    hung, ok = records
+    assert hung.correct is False
+    assert hung.execution_time != hung.execution_time  # NaN
+    assert ok.correct is True
