@@ -138,12 +138,21 @@ def spmm_banded_pallas(bb: BandedBlocks, v: jax.Array, *,
     nb = bb.n_blocks
     k = v.shape[1]
     v = v.astype(bb.band.dtype) if v.dtype != bb.band.dtype else v
+    # Mosaic rejects the transposed-window scratch when its sublane extent
+    # (k) is not a multiple of 8 — pad the fat vector to the next sublane
+    # multiple and slice the result (round-2 fix: k=1/6/12 previously fell
+    # back to the XLA einsum silently).
+    k_pad = -(-k // 8) * 8
+    if k_pad != k:
+        v_run = jnp.pad(v, ((0, 0), (0, k_pad - k)))
+    else:
+        v_run = v
     total = (nb + 2) * r
-    v_pad = jnp.zeros((total, k), dtype=v.dtype)
-    v_pad = jax.lax.dynamic_update_slice(v_pad, v[: total - r], (r, 0))
+    v_pad = jnp.zeros((total, k_pad), dtype=v.dtype)
+    v_pad = jax.lax.dynamic_update_slice(v_pad, v_run[: total - r], (r, 0))
     out = band_matmul_pallas(
         jnp.asarray(bb.band), v_pad.T, interpret=interpret
-    )[:m]
+    )[:m, :k]
     if bb.spill is not None:
         out = out + spmm_bucketed(bb.spill, v[:n])
     return out

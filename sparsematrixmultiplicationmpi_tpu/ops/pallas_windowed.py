@@ -160,9 +160,12 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     k = v_p.shape[1]
     n_chunks = -(-n // C)
 
-    v_p = v_p.astype(wp.tiles.dtype) if (
-        v_p.dtype.itemsize < 4 and wp.tiles.dtype.itemsize >= 4
-    ) else v_p
+    # Match operand dtypes: Mosaic's mixed-precision dot (bf16 tiles x f32
+    # slab) was observed numerically wrong on v5e (rel err ~0.7); the
+    # native bf16 x bf16 -> f32 path is exact per product. Fat vectors of
+    # small integers are exactly representable in bf16 (<= 256).
+    if v_p.dtype != wp.tiles.dtype:
+        v_p = v_p.astype(wp.tiles.dtype)
     v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
     v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
     out_blocks = windowed_matmul_pallas(

@@ -38,12 +38,18 @@ __all__ = ["BandedRowWise", "BandedRowOperand"]
 @_register
 @dataclasses.dataclass(frozen=True)
 class BandedRowOperand:
-    """Sharded operand: band blocks (P(axis) on the block dim) and an
-    optional row-aligned ELL spill sharded the same way."""
+    """Sharded operand: band blocks (P(axis) on the block dim), an
+    optional row-aligned ELL spill sharded the same way, and an optional
+    nnz-sharded COO tail for spill rows beyond the ELL width cap (without
+    the cap, one power-law hub row would inflate the spill planes to
+    m x max_row_nnz — observed 7 GB on a 600k-nnz matrix)."""
 
     band: jax.Array                       # (nb_padded, r, 3r)
     spill_cols: Optional[jax.Array]       # (nb_padded*r, W) int32
     spill_vals: Optional[jax.Array]       # (nb_padded*r, W)
+    tail_values: Optional[jax.Array]      # (t,) nnz-sharded
+    tail_rows: Optional[jax.Array]        # (t,) int32
+    tail_cols: Optional[jax.Array]        # (t,) int32
     shape: Tuple[int, int] = _static_field()
     block_rows: int = _static_field()
 
@@ -85,25 +91,47 @@ class BandedRowWise(Strategy):
             )
 
         spill_cols = spill_vals = None
+        tail_values = tail_rows = tail_cols = None
         if bb.spill is not None:
             # Rebuild the spill as a single row-aligned ELL (no row
-            # permutation) so it row-shards identically to the band.
+            # permutation) so it row-shards identically to the band —
+            # width-capped so a skewed spill cannot inflate the planes
+            # (reference-class defect analog: one hub row => m x max_nnz);
+            # overflow rides an nnz-sharded COO tail.
+            from .strategies import _ell_width_cap
+            from ..formats.matrix import split_csr_by_width
+
             spill_csr = _bucketed_to_csr(bb.spill)
-            ell = ELL.from_csr(spill_csr, row_align=nb_padded * r)
+            head, tail = split_csr_by_width(
+                spill_csr, _ell_width_cap(spill_csr, 8)
+            )
+            ell = ELL.from_csr(head, row_align=nb_padded * r)
             spill_cols = np.asarray(ell.cols)
             spill_vals = np.asarray(ell.vals)
+            if tail is not None:
+                p_sz = int(mesh.devices.size)
+                tail = tail.pad_to(-(-tail.nnz // p_sz) * p_sz)
+                tail_values = np.asarray(tail.values)
+                tail_rows = np.asarray(tail.row_indices)
+                tail_cols = np.asarray(tail.col_indices)
 
         ax = _axis(mesh)
         shard3 = NamedSharding(mesh, P(ax, None, None))
         shard2 = NamedSharding(mesh, P(ax, None))
+        shard1 = NamedSharding(mesh, P(ax))
+
+        def put(x, sharding):
+            return None if x is None else jax.device_put(
+                jnp.asarray(x), sharding
+            )
+
         return BandedRowOperand(
             band=jax.device_put(jnp.asarray(band), shard3),
-            spill_cols=None if spill_cols is None else jax.device_put(
-                jnp.asarray(spill_cols), shard2
-            ),
-            spill_vals=None if spill_vals is None else jax.device_put(
-                jnp.asarray(spill_vals), shard2
-            ),
+            spill_cols=put(spill_cols, shard2),
+            spill_vals=put(spill_vals, shard2),
+            tail_values=put(tail_values, shard1),
+            tail_rows=put(tail_rows, shard1),
+            tail_cols=put(tail_cols, shard1),
             shape=(m, n),
             block_rows=r,
         )
@@ -120,11 +148,17 @@ class BandedRowWise(Strategy):
         v_pad = jax.lax.dynamic_update_slice(v_pad, v[: nb_padded * r], (0, 0))
         v_pad = jax.device_put(v_pad, NamedSharding(mesh, P(ax, None)))
         has_spill = operand.spill_cols is not None
+        has_tail = operand.tail_values is not None
+        zi = jnp.zeros((0,), jnp.int32)
+        zv = jnp.zeros((0,), v.dtype)
         out = _banded_row_spmm(
-            mesh, ax, gather_result, has_spill, r,
+            mesh, ax, gather_result, has_spill, has_tail, r,
             operand.band,
-            operand.spill_cols if has_spill else jnp.zeros((0,), jnp.int32),
-            operand.spill_vals if has_spill else jnp.zeros((0,), v.dtype),
+            operand.spill_cols if has_spill else jnp.zeros((0, 0), jnp.int32),
+            operand.spill_vals if has_spill else jnp.zeros((0, 0), v.dtype),
+            operand.tail_values if has_tail else zv,
+            operand.tail_rows if has_tail else zi,
+            operand.tail_cols if has_tail else zi,
             v_pad,
         )
         return out[:m]
@@ -156,12 +190,14 @@ def _bucketed_to_csr(bell):
     ).to_csr()
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _banded_row_spmm(mesh, ax, gather, has_spill, r, band, spill_cols,
-                     spill_vals, v_pad):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _banded_row_spmm(mesh, ax, gather, has_spill, has_tail, r, band,
+                     spill_cols, spill_vals, tv, tr, tc, v_pad):
     p = mesh.shape[ax]
+    m_padded = int(band.shape[0]) * r
 
-    def body(band_blk, scols_blk, svals_blk, v_blk):
+    def body(band_blk, scols_blk, svals_blk, tv_blk, tr_blk, tc_blk,
+             v_blk):
         nb_loc = band_blk.shape[0]
         k = v_blk.shape[1]
         v_blocks = v_blk.reshape(nb_loc, r, k)
@@ -209,6 +245,21 @@ def _banded_row_spmm(mesh, ax, gather, has_spill, r, band, spill_cols,
             out = out + jnp.sum(
                 svals_blk[:, :, None].astype(v_blk.dtype) * gathered, axis=1
             )
+            if has_tail:
+                # Width-cap overflow: nnz-sharded COO, segment-summed into
+                # a full-height partial, reduce-scattered onto row shards
+                # (same skew-robust pattern as RowWise's hybrid tail).
+                from ..ops.ell import take_rows
+
+                prods = tv_blk[:, None].astype(v_blk.dtype) * take_rows(
+                    v_full, tc_blk
+                )
+                partial_out = jax.ops.segment_sum(
+                    prods, tr_blk, num_segments=m_padded
+                )
+                out = out + jax.lax.psum_scatter(
+                    partial_out, ax, tiled=True
+                )
 
         if gather:
             out = jax.lax.all_gather(out, ax, tiled=True)
@@ -221,6 +272,9 @@ def _banded_row_spmm(mesh, ax, gather, has_spill, r, band, spill_cols,
                 band_blk,
                 jnp.zeros((v_blk.shape[0], 0), jnp.int32),
                 jnp.zeros((v_blk.shape[0], 0), v_blk.dtype),
+                jnp.zeros((0,), v_blk.dtype),
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0,), jnp.int32),
                 v_blk,
             ),
             mesh=mesh,
@@ -230,10 +284,11 @@ def _banded_row_spmm(mesh, ax, gather, has_spill, r, band, spill_cols,
         )(band, v_pad)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(ax, None, None), P(ax, None), P(ax, None), P(ax, None)),
+        in_specs=(P(ax, None, None), P(ax, None), P(ax, None),
+                  P(ax), P(ax), P(ax), P(ax, None)),
         out_specs=out_specs,
         check_vma=False,
-    )(band, spill_cols, spill_vals, v_pad)
+    )(band, spill_cols, spill_vals, tv, tr, tc, v_pad)
 
 
 # Register with the strategy name table (import-cycle-free: this module

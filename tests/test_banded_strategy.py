@@ -114,3 +114,26 @@ def test_symmetric_permutation_spmm_equivalence():
     inv = np.empty(100, dtype=int)
     inv[np.arange(100)] = np.arange(100)
     np.testing.assert_allclose(yp, y[perm], atol=1e-9)
+
+
+def test_banded_row_wise_skewed_spill_tail():
+    """A power-law spill must not inflate the ELL planes to m x max_row
+    (observed 7 GB OOM pre-fix); overflow rides the nnz-sharded COO tail
+    and the result stays correct."""
+    from sparsematrixmultiplicationmpi_tpu.io.generate import powerlaw_csr
+
+    csr = powerlaw_csr(4000, 4000, 40000, seed=171)
+    mesh = make_mesh(4)
+    strat = BandedRowWise(block_rows=64)
+    operand = strat.prepare(csr, mesh)
+    if operand.spill_cols is not None:
+        W = operand.spill_cols.shape[1]
+        max_row = int(csr.row_lengths().max())
+        assert W < max_row, (W, max_row)
+        assert operand.tail_values is not None
+    v = jnp.asarray(generate_fat_vector(4000, 5, seed=172))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    np.testing.assert_allclose(out, oracle, atol=1e-8)

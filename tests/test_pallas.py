@@ -51,3 +51,17 @@ def test_pallas_band_odd_rows():
     oracle = spmm_host_f64(csr, np.asarray(v))
     rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
     assert rel < 1e-4
+
+
+@pytest.mark.parametrize("k", [6, 12])
+def test_pallas_band_k_not_sublane_aligned(k):
+    """k % 8 != 0 runs through the kernel via column padding (round-2 fix:
+    k=1/6/12 previously fell back to the XLA einsum silently)."""
+    csr = banded_csr(300, 7, 5, seed=141).astype(jnp.float32)
+    bb = BandedBlocks.from_csr(csr, block_rows=8)
+    v = jnp.asarray(generate_fat_vector(300, k, seed=142), jnp.float32)
+    out = np.asarray(spmm_banded_pallas(bb, v, interpret=True))
+    assert out.shape == (300, k)
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
+    assert rel < 1e-4
