@@ -138,7 +138,12 @@ def main() -> int:
 
     fig_dir = os.path.join(out_dir, "figures")
     os.makedirs(fig_dir, exist_ok=True)
-    ok = [r for r in records if r.execution_time == r.execution_time]
+    # Re-read the checkpoint CSV: a resumed sweep only holds the jobs it
+    # ran this invocation.
+    from sparsematrixmultiplicationmpi_tpu.bench.harness import read_csv
+
+    all_records = read_csv(csv_path)
+    ok = [r for r in all_records if r.execution_time == r.execution_time]
     for mat in matrices:
         sub = [r for r in ok if r.matrix == mat and r.k == 32]
         if sub:

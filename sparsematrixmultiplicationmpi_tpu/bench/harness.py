@@ -346,6 +346,42 @@ CSV_COLUMNS = [
 ]
 
 
+def read_csv(path: str) -> List[BenchRecord]:
+    """Load BenchRecords back from a sweep CSV (for re-rendering reports
+    and figures from checkpoint files — resumed sweeps only hold the jobs
+    they ran in memory)."""
+    import csv
+
+    def _f(x):
+        return float(x) if x not in ("", "None") else float("nan")
+
+    def _opt_f(x):
+        return None if x in ("", "None") else float(x)
+
+    records = []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            records.append(BenchRecord(
+                matrix=row["matrix"], m=int(row["m"]), n=int(row["n"]),
+                nnz=int(row["nnz"]), k=int(row["k"]),
+                strategy=row["strategy"], devices=int(row["devices"]),
+                execution_time=_f(row["execution_time"]),
+                prepare_time=_f(row["prepare_time"]),
+                correct={"True": True, "False": False}.get(
+                    row["correct"], None),
+                max_error=_opt_f(row["max_error"]),
+                gflops=_f(row["gflops"]),
+                gnnz_per_s=_f(row["gnnz_per_s"]),
+                roofline_fraction=_opt_f(row["roofline_fraction"]),
+                dtype=row["dtype"], device_kind=row["device_kind"],
+                gathered=row["gathered"] == "True",
+                comp_time=_opt_f(row.get("comp_time", "")),
+                comm_time=_opt_f(row.get("comm_time", "")),
+                time_upper_bound=_opt_f(row.get("time_upper_bound", "")),
+            ))
+    return records
+
+
 def write_csv(path: str, records: Iterable[BenchRecord]):
     """CSV with one row per job — the ``get_csv_all.sh`` schema's measured
     quantities, emitted directly instead of scraped from stdout."""

@@ -43,6 +43,7 @@ def _parse_header(path: str) -> Tuple[bool, bool, int, int, int, int]:
     (symmetric, pattern, rows, cols, nnz, data_offset_bytes)."""
     symmetric = False
     pattern = False
+    skew = False
     with open(path, "rb") as f:
         while True:
             line = f.readline()
@@ -52,8 +53,23 @@ def _parse_header(path: str) -> Tuple[bool, bool, int, int, int, int]:
             stripped = text.strip()
             if stripped.startswith("%"):
                 # Reference semantics: token substring search on comment
-                # lines (utils.cpp:90-99).
-                if "symmetric" in text:
+                # lines (utils.cpp:90-99). Two documented divergences for
+                # real-fixture quirk kinds the reference would misparse:
+                # complex/hermitian files raise a clear error (the
+                # reference's stream extraction would silently misalign on
+                # the 4-column body, utils.cpp:124-146), and
+                # skew-symmetric mirrors with negated values per the MM
+                # spec (the reference's substring match would mirror with
+                # +value).
+                if "complex" in text or "hermitian" in text:
+                    raise ValueError(
+                        f"complex-valued Matrix Market files are not "
+                        f"supported: {path}"
+                    )
+                if "skew-symmetric" in text:
+                    skew = True
+                    symmetric = True
+                elif "symmetric" in text:
                     symmetric = True
                 if "pattern" in text:
                     pattern = True
@@ -68,7 +84,7 @@ def _parse_header(path: str) -> Tuple[bool, bool, int, int, int, int]:
                     f"Failed to read matrix dimensions from file: {path}"
                 )
             rows, cols, nnz = int(parts[0]), int(parts[1]), int(parts[2])
-            return symmetric, pattern, rows, cols, nnz, f.tell()
+            return symmetric, pattern, skew, rows, cols, nnz, f.tell()
 
 
 def _parse_body_numpy(path: str, offset: int, nnz: int, pattern: bool):
@@ -96,11 +112,15 @@ def _parse_body_numpy(path: str, offset: int, nnz: int, pattern: bool):
     return rows, cols, values
 
 
-def expand_and_build_csr(rows, cols, values, m, n, symmetric, dtype=None) -> CSR:
-    """COO triplets (0-based) -> CSR with reference expansion semantics."""
+def expand_and_build_csr(rows, cols, values, m, n, symmetric, dtype=None,
+                         mirror_sign: float = 1.0) -> CSR:
+    """COO triplets (0-based) -> CSR with reference expansion semantics.
+
+    ``mirror_sign=-1`` gives the skew-symmetric expansion (A^T = -A)."""
     if symmetric:
         off = rows != cols
-        mirror_rows, mirror_cols, mirror_vals = cols[off], rows[off], values[off]
+        mirror_rows, mirror_cols = cols[off], rows[off]
+        mirror_vals = values[off] * mirror_sign
         rows = np.concatenate([rows, mirror_rows])
         cols = np.concatenate([cols, mirror_cols])
         values = np.concatenate([values, mirror_vals])
@@ -122,9 +142,12 @@ def read_matrix_market_numpy(path: str, dtype=None) -> CSR:
     """Pure numpy loader (reference parity; ``utils.cpp:70-185``)."""
     if not os.path.exists(path):
         raise FileNotFoundError(f"Unable to open file: {path}")
-    symmetric, pattern, m, n, nnz, offset = _parse_header(path)
+    symmetric, pattern, skew, m, n, nnz, offset = _parse_header(path)
     rows, cols, values = _parse_body_numpy(path, offset, nnz, pattern)
-    return expand_and_build_csr(rows, cols, values, m, n, symmetric, dtype)
+    return expand_and_build_csr(
+        rows, cols, values, m, n, symmetric, dtype,
+        mirror_sign=-1.0 if skew else 1.0,
+    )
 
 
 def read_matrix_market(path: str, dtype=None, use_native: bool = True) -> CSR:

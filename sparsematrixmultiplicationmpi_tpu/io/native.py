@@ -108,6 +108,12 @@ def read_matrix_market_native(path: str, dtype=None,
     if not os.path.exists(path):
         raise FileNotFoundError(f"Unable to open file: {path}")
 
+    # Header semantics (complex rejection, skew-symmetric sign) are owned
+    # by the Python header scanner so both parsers behave identically.
+    from .mtx import _parse_header
+
+    _, _, skew, _, _, _, _ = _parse_header(path)
+
     res = lib.mm_read(path.encode(), n_threads)
     try:
         r = res.contents
@@ -132,4 +138,7 @@ def read_matrix_market_native(path: str, dtype=None,
 
     if pattern:
         values = np.ones(nnz, dtype=np.float64)
-    return expand_and_build_csr(rows, cols, values, m, n, symmetric, dtype)
+    return expand_and_build_csr(
+        rows, cols, values, m, n, symmetric, dtype,
+        mirror_sign=-1.0 if skew else 1.0,
+    )

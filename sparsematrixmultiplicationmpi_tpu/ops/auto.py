@@ -24,34 +24,74 @@ from __future__ import annotations
 from typing import Union
 
 import jax
+import numpy as np
 
 from ..formats.banded import BandedBlocks
-from ..formats.matrix import BucketedELL, CSR
-from ..formats.windowed import WindowedPairs
+from ..formats.matrix import COO, BucketedELL, CSR
+from ..formats.windowed import (
+    GATHER_S_PER_ROW, HBM_BW, WindowedPairs,
+)
 from .banded import spmm_banded
 from .ell import spmm_bucketed
 
-__all__ = ["auto_format", "spmm_any", "spmm"]
+__all__ = ["auto_format", "spmm_any", "spmm", "gather_class_estimates"]
 
-AutoFormat = Union[WindowedPairs, BandedBlocks, BucketedELL]
+AutoFormat = Union[WindowedPairs, BandedBlocks, BucketedELL, COO]
+
+#: Measured on v5e (scripts/exp_gather_calib.py): sorted segment-sum costs
+#: ~this much per output row on top of the per-nnz gather (scan-structured
+#: reduction over the row axis).
+SEGSUM_S_PER_ROW = 5e-9
+
+
+def gather_class_estimates(csr: CSR, k_nominal: int = 32):
+    """Estimated per-SpMM seconds for the two gather-path formats.
+
+    * BucketedELL: one gather row per PADDED slot plus the final
+      inverse-permutation take over m rows.
+    * COO + sorted segment-sum: one gather row per nnz plus the segment
+      reduction over m output rows.
+
+    Both are per-row-overhead-bound on TPU (~5 ns/row regardless of
+    width, CLAUDE.md measured facts); the choice is padded-slots + take
+    versus exact-nnz + segsum — on skewed (power-law) matrices the COO
+    path wins (VERDICT round-1: auto lost 45 % to the nnz path there).
+    """
+    bell = BucketedELL.from_csr(csr)
+    padded_rows = sum(b.m_padded * b.width for b in bell.buckets)
+    m = csr.shape[0]
+    out_bytes = m * k_nominal * 4 / HBM_BW
+    est_bell = (padded_rows + m) * GATHER_S_PER_ROW + out_bytes
+    est_coo = (csr.nnz * GATHER_S_PER_ROW + m * SEGSUM_S_PER_ROW
+               + out_bytes)
+    return {"bucketed_ell": (est_bell, bell),
+            "coo": (est_coo, None)}
 
 
 def auto_format(csr: CSR, *, reorder: str | None = "auto",
                 **format_kwargs) -> AutoFormat:
-    """Pick the fastest storage for this matrix's structure.
+    """Pick the fastest storage for this matrix's structure by estimated
+    per-SpMM cost under the measured v5e constants.
 
     Windowed tiles when enough nonzeros cluster into MXU tiles (after an
-    optional RCM reorder), band-dense for explicitly-requested banded
-    storage, bucketed ELL otherwise. ``format_kwargs`` are forwarded to
+    optional RCM reorder); otherwise the cheaper of the two gather-path
+    formats (bucketed ELL vs COO+segment-sum); band-dense remains for
+    explicitly banded use. ``format_kwargs`` are forwarded to
     ``WindowedPairs.from_csr`` (e.g. ``block_rows``, ``candidates``).
     """
+    ests = gather_class_estimates(csr)
+    best_gather = min(ests.values(), key=lambda t: t[0])[0]
+
     wp = WindowedPairs.from_csr(csr, reorder=reorder, **format_kwargs)
-    if wp is not None:
+    if wp is not None and wp.est_seconds < best_gather:
         return wp
     bb = BandedBlocks.from_csr(csr)
     if bb is not None:
         return bb
-    return BucketedELL.from_csr(csr)
+    name = min(ests, key=lambda nm: ests[nm][0])
+    if name == "coo":
+        return csr.to_coo()
+    return ests["bucketed_ell"][1]
 
 
 def _on_accelerator() -> bool:
@@ -92,6 +132,19 @@ def spmm_any(operand: AutoFormat, v: jax.Array,
         return spmm_banded(operand, v)
     if isinstance(operand, BucketedELL):
         return spmm_bucketed(operand, v)
+    if isinstance(operand, COO):
+        from .oracle import spmm_coo
+
+        return spmm_coo(operand, v)
+    try:
+        from jax.experimental import sparse as jsparse
+
+        if isinstance(operand, jsparse.BCOO):
+            from .library import spmm_bcoo
+
+            return spmm_bcoo(operand, v)
+    except ImportError:  # pragma: no cover
+        pass
     raise TypeError(f"unsupported operand format: {type(operand)}")
 
 
