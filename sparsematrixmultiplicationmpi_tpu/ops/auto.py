@@ -79,13 +79,21 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
     explicitly banded use. ``format_kwargs`` are forwarded to
     ``WindowedPairs.from_csr`` (e.g. ``block_rows``, ``candidates``).
     """
+    import inspect
+
+    def _route(fn):
+        sig = inspect.signature(fn).parameters
+        return {k: v for k, v in format_kwargs.items() if k in sig}
+
     ests = gather_class_estimates(csr)
     best_gather = min(ests.values(), key=lambda t: t[0])[0]
 
-    wp = WindowedPairs.from_csr(csr, reorder=reorder, **format_kwargs)
+    wp = WindowedPairs.from_csr(
+        csr, reorder=reorder, **_route(WindowedPairs.from_csr)
+    )
     if wp is not None and wp.est_seconds < best_gather:
         return wp
-    bb = BandedBlocks.from_csr(csr)
+    bb = BandedBlocks.from_csr(csr, **_route(BandedBlocks.from_csr))
     if bb is not None:
         return bb
     name = min(ests, key=lambda nm: ests[nm][0])

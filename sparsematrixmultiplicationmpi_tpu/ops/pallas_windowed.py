@@ -1,18 +1,19 @@
 """Fused Pallas TPU kernel for windowed tile-pair SpMM.
 
-The XLA path (``ops/windowed.py``) materializes the gathered fat-vector
-slabs in HBM (one write + one read of ~P*C*k values) and the per-pair
-products before the segment-sum. This kernel fuses the whole contraction:
-the grid walks the sorted pair list; each step's ``(R, C)`` tile is
-pipelined into VMEM by the BlockSpec machinery, the pair's fat-vector
-slab is fetched by an explicit double-buffered async DMA keyed off the
-scalar-prefetched ``pair_chunk``, and the MXU product accumulates
-directly into the output row block, which Pallas keeps resident in VMEM
-across consecutive pairs of the same block (``pair_block`` is sorted, so
-each output block is visited as one contiguous run).
+The grid walks computed row blocks (one output block per step, written
+once); an inner loop runs the block's contiguous pair run (``block_ptr``
+from the class packing), double-buffering both the tile DMA (HBM->VMEM,
+(R, C) per pair) and the fat-vector slab DMA ((k, C) per pair, sliced at
+C-aligned offsets from the transposed padded vector). The MXU product of
+each pair accumulates into the VMEM-resident output block.
 
-HBM traffic is exactly: tiles (once) + one slab per pair + output (once)
-— the format's design roofline.
+Measured on v5e (scripts/exp_kernel_probe*.py): the manual DMA pipeline
+sustains ~220-240 GB/s on the tile stream regardless of buffering depth,
+batching, or slab addressing mode, while XLA's own class-packed einsum
+path (``ops/windowed.py``) streams the same tiles at near full HBM
+bandwidth — so the XLA path is the default on TPU
+(``spmm_windowed_core``) and this kernel is kept as the
+fusion-experiment surface, exact and validated but not the fastest.
 """
 
 from __future__ import annotations
@@ -30,118 +31,115 @@ from .ell import spmm_bucketed
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas"]
 
 
-def _kernel(pb_ref, pc_ref, tiles_ref, v_ref, out_ref, buf0, buf1, sems):
-    """One grid step: out[pair_block[p]] += tiles[p] @ slab(pair_chunk[p]).
-
-    ``v_ref`` is the transposed padded fat vector (k, n_pad) living in
-    HBM/ANY; slab DMAs slice its minor dim at C-aligned offsets (C is a
-    multiple of 128, satisfying the Mosaic lane-alignment rule for DMA
-    slices — see CLAUDE.md "Mosaic/Pallas limits"). Two explicit buffers
-    double-buffer the slab fetch across grid steps.
-    """
-    p = pl.program_id(0)
-    num_p = pl.num_programs(0)
+def _kernel(ptr_ref, pc_ref, tiles_ref, v_ref, out_ref,
+            tbuf0, tbuf1, sbuf0, sbuf1, sems):
+    """One grid step = one computed block: loop its pair run, accumulate
+    tiles[p] @ slab(pair_chunk[p]) into the block output."""
+    b = pl.program_id(0)
     C = tiles_ref.shape[2]
+    lo = ptr_ref[b]
+    hi = ptr_ref[b + 1]
+    total = ptr_ref[pl.num_programs(0)]
 
-    def slab_dma(buf, slot, pair_idx):
-        start = pc_ref[pair_idx] * C
-        return pltpu.make_async_copy(
-            v_ref.at[:, pl.ds(start, C)], buf, sems.at[slot]
-        )
+    def start_pair(p):
+        @pl.when(p < total)
+        def _():
+            even = p % 2 == 0
 
-    even = p % 2 == 0
+            @pl.when(even)
+            def _():
+                pltpu.make_async_copy(
+                    tiles_ref.at[p], tbuf0, sems.at[0]).start()
+                pltpu.make_async_copy(
+                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf0,
+                    sems.at[1]).start()
 
-    @pl.when(p == 0)
+            @pl.when(jnp.logical_not(even))
+            def _():
+                pltpu.make_async_copy(
+                    tiles_ref.at[p], tbuf1, sems.at[2]).start()
+                pltpu.make_async_copy(
+                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf1,
+                    sems.at[3]).start()
+
+    # Warm-up once (scratch and semaphores persist across grid steps, so
+    # the pair pipeline flows across block boundaries).
+    @pl.when(b == 0)
     def _():
-        slab_dma(buf0, 0, 0).start()
+        start_pair(jnp.int32(0))
 
-    @pl.when(jnp.logical_and(p + 1 < num_p, even))
-    def _():
-        slab_dma(buf1, 1, p + 1).start()
+    out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(jnp.logical_and(p + 1 < num_p, jnp.logical_not(even)))
-    def _():
-        slab_dma(buf0, 0, p + 1).start()
+    def body(p, _):
+        start_pair(p + 1)
+        even = p % 2 == 0
 
-    @pl.when(even)
-    def _():
-        slab_dma(buf0, 0, p).wait()
+        def accumulate(tbuf, sbuf, tsem, ssem):
+            pltpu.make_async_copy(tiles_ref.at[p], tbuf, sems.at[tsem]
+                                  ).wait()
+            pltpu.make_async_copy(
+                v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf, sems.at[ssem]
+            ).wait()
+            out_ref[0] += jax.lax.dot_general(
+                tbuf[:], sbuf[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=out_ref.dtype,
+                precision=(jax.lax.Precision.HIGHEST
+                           if tbuf.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
+            )
 
-    @pl.when(jnp.logical_not(even))
-    def _():
-        slab_dma(buf1, 1, p).wait()
+        @pl.when(even)
+        def _():
+            accumulate(tbuf0, sbuf0, 0, 1)
 
-    slab = jnp.where(even, buf0[:], buf1[:])  # (k, C)
-    acc = jax.lax.dot_general(
-        tiles_ref[0],              # (R, C)
-        slab,                      # (k, C)
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=out_ref.dtype,
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if tiles_ref.dtype == jnp.float32
-            and slab.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        ),
-    )
+        @pl.when(jnp.logical_not(even))
+        def _():
+            accumulate(tbuf1, sbuf1, 2, 3)
+        return 0
 
-    # First pair of an output block initializes it; later pairs of the
-    # same block accumulate into the VMEM-resident block (pair_block is
-    # sorted, so revisits are contiguous and Pallas keeps the block hot).
-    prev = pb_ref[jnp.maximum(p - 1, 0)]
-    is_first = jnp.logical_or(p == 0, pb_ref[p] != prev)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[0] = acc
-
-    @pl.when(jnp.logical_not(is_first))
-    def _():
-        out_ref[0] = out_ref[0] + acc
+    jax.lax.fori_loop(lo, hi, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
                            tiles: jax.Array, v_pad_t: jax.Array, *,
-                           nb: int, interpret: bool = False) -> jax.Array:
-    """Raw fused contraction: returns (nb, R, k) block outputs.
+                           interpret: bool = False) -> jax.Array:
+    """Raw fused contraction: (nb_occ, R, k) computed-block outputs.
 
-    Blocks with no pairs are NOT written — the caller must mask them
-    (their memory is uninitialized).
-
-    ``tiles``: (P, R, C); ``pair_block`` sorted ascending; ``v_pad_t``:
-    (k, n_pad) transposed fat vector with n_pad a multiple of C.
+    ``tiles``: (P, R, C) class-packed; ``block_ptr``: (nb_occ + 1,) pair
+    run bounds; ``v_pad_t``: (k, n_pad) transposed padded fat vector with
+    n_pad a multiple of C.
     """
     P, R, C = tiles.shape
     k = v_pad_t.shape[0]
-    # Accumulate in f32 even for bf16 operands: per-pair MXU products are
-    # exact in f32, and cross-pair accumulation in bf16 would lose ~3
-    # digits on long window runs.
+    nb_occ = int(block_ptr.shape[0]) - 1
     out_dtype = jnp.promote_types(
         jnp.float32, jnp.promote_types(tiles.dtype, v_pad_t.dtype)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # pair_block, pair_chunk
-        grid=(P,),
+        num_scalar_prefetch=2,  # block_ptr, pair_chunk
+        grid=(nb_occ,),
         in_specs=[
-            pl.BlockSpec((1, R, C), lambda p, pb, pc: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, R, k), lambda p, pb, pc: (pb[p], 0, 0),
+        out_specs=pl.BlockSpec((1, R, k), lambda b, ptr, pc: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((R, C), tiles.dtype),
+            pltpu.VMEM((R, C), tiles.dtype),
             pltpu.VMEM((k, C), v_pad_t.dtype),
             pltpu.VMEM((k, C), v_pad_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, R, k), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nb_occ, R, k), out_dtype),
         interpret=interpret,
-    )(pair_block, pair_chunk, tiles, v_pad_t)
+    )(block_ptr, pair_chunk, tiles, v_pad_t)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
@@ -168,14 +166,17 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
         v_p = v_p.astype(wp.tiles.dtype)
     v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
     v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
-    out_blocks = windowed_matmul_pallas(
-        wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles), v_pad.T,
-        nb=nb, interpret=interpret,
+    computed = windowed_matmul_pallas(
+        wp.block_ptr, wp.pair_chunk, jnp.asarray(wp.tiles), v_pad.T,
+        interpret=interpret,
+    )  # (nb_occ, R, k)
+    out_dtype = computed.dtype
+    padded = jnp.concatenate(
+        [computed, jnp.zeros((1, R, k), out_dtype)], axis=0
     )
-    # Blocks with no dense pairs were never written by the kernel — their
-    # memory is uninitialized garbage, not zero. Mask them out.
-    visited = jnp.zeros((nb,), dtype=bool).at[wp.pair_block].set(True)
-    out_blocks = jnp.where(visited[:, None, None], out_blocks, 0)
+    out_blocks = jnp.take(
+        padded.reshape(padded.shape[0], R * k), wp.inv_block_pos, axis=0
+    )
     out = out_blocks.reshape(nb * R, k)[:m]
     if wp.spill is not None:
         out = out + spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)

@@ -33,7 +33,12 @@ def _precision(tiles_dtype, v_dtype):
 
 
 def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
-    """Permuted-space SpMM via XLA gather + einsum + segment-sum.
+    """Permuted-space SpMM via slab gather + per-class batched einsums.
+
+    The class packing (``formats/windowed.py``) makes every class a dense
+    ``(nbc, nwc, R, C) x (nbc, nwc, C, k) -> (nbc, R, k)`` contraction —
+    no segment-sum, no scatter; the only non-einsum ops are the P slab
+    gathers and one block-granular take at the end.
 
     ``v_p`` is already in the operand's (permuted) column space.
     Returns the permuted-space ``(m, k)`` result.
@@ -48,20 +53,37 @@ def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
     out_dtype = jnp.promote_types(
         jnp.float32, jnp.promote_types(wp.tiles.dtype, v_p.dtype)
     )
+    # Match operand dtypes: TPU mixed-precision contractions (bf16 tiles x
+    # f32 slabs) were observed numerically wrong (rel err ~0.7 on v5e, in
+    # both the XLA einsum and Mosaic dot lowerings); the native
+    # bf16 x bf16 -> f32 path is exact per product.
+    if v_p.dtype != wp.tiles.dtype:
+        v_p = v_p.astype(wp.tiles.dtype)
 
     v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
     v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
     slabs = jnp.take(
         v_pad.reshape(n_chunks, C * k), wp.pair_chunk, axis=0
-    ).reshape(-1, C, k)
-    out_pairs = jnp.einsum(
-        "prc,pck->prk", wp.tiles, slabs,
-        preferred_element_type=out_dtype,
-        precision=_precision(wp.tiles.dtype, v_p.dtype),
-    )
-    out_blocks = jax.ops.segment_sum(
-        out_pairs, wp.pair_block, num_segments=nb, indices_are_sorted=True
-    )
+    )  # (P, C*k)
+    parts = []
+    off = 0
+    precision = _precision(wp.tiles.dtype, v_p.dtype)
+    for nbc, nwc in wp.class_shapes:
+        cnt = nbc * nwc
+        t = wp.tiles[off: off + cnt].reshape(nbc, nwc, R, C)
+        s = slabs[off: off + cnt].reshape(nbc, nwc, C, k)
+        parts.append(jnp.einsum(
+            "bwrc,bwck->brk", t, s,
+            preferred_element_type=out_dtype, precision=precision,
+        ))
+        off += cnt
+    computed = jnp.concatenate(
+        parts + [jnp.zeros((1, R, k), out_dtype)], axis=0
+    )  # (nb_occ + 1, R, k); trailing zero block for tile-less rows
+    out_blocks = jnp.take(
+        computed.reshape(computed.shape[0], R * k), wp.inv_block_pos,
+        axis=0,
+    )  # (nb, R*k) — block-granular gather, nb rows (cheap)
     out = out_blocks.reshape(nb * R, k)[:m]
     if wp.spill is not None:
         out = out + spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)

@@ -1,0 +1,360 @@
+"""Row-sharded windowed tile-pair SpMM — the flagship format on a mesh.
+
+The single-chip flagship format (``formats/windowed.py``) distributed the
+way the reference distributes rows (``...RowWise.cpp:26-50``), TPU-first:
+row blocks are range-partitioned over the mesh axis, every device owns the
+dense tiles of its block range (sharded, not replicated — unlike the
+reference's replicate-everything model, ``main.cpp:106-146``), and each
+device runs the same fused block-run contraction the single-chip path
+uses. The fat vector is replicated (windows may touch any column chunk;
+on RCM-ordered meshes they cluster near the diagonal, so a halo-exchange
+variant like ``BandedRowWise``'s is the natural refinement). The output
+lands row-sharded (``gather_result=False``) or is ``all_gather``-ed (the
+``MPI_Gatherv`` analog, ``RowWise.cpp:85-87``).
+
+Load balance: FEM-class matrices have near-uniform tiles-per-block after
+RCM, so equal block ranges are within ~20 % of equal work; the spill ELL
+is width-capped with an nnz-sharded COO tail exactly as in
+``banded_strategy.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats.matrix import ELL, _register, _static_field, \
+    split_csr_by_width
+from ..formats.windowed import (
+    GATHER_S_PER_ROW, WindowedPairs, build_dense_pairs,
+    windowed_cost_estimate,
+)
+from .strategies import Strategy, _axis, _ell_width_cap
+
+__all__ = ["WindowedRowWise", "WindowedRowOperand"]
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class WindowedRowOperand:
+    """Device-range-partitioned windowed tiles plus sharded spill.
+
+    Per device ``d``: rows ``[d*nb_loc*R, (d+1)*nb_loc*R)`` (permuted
+    space), tiles ``tiles[d*P_max:(d+1)*P_max]``, local pair runs
+    ``block_ptr[d]``. Padding pairs (zero tiles, chunk 0) are appended to
+    each device's last block run so every device holds exactly ``P_max``
+    pairs.
+    """
+
+    tiles: jax.Array                 # (p*P_max, R, C) sharded on axis
+    pair_chunk: jax.Array            # (p*P_max,) sharded
+    pair_pos: jax.Array              # (p*P_max,) local block idx, sharded
+    block_ptr: jax.Array             # (p, nb_loc+1) sharded
+    spill_cols: Optional[jax.Array]  # (p*nb_loc*R, W) sharded
+    spill_vals: Optional[jax.Array]
+    tail_values: Optional[jax.Array]  # nnz-sharded COO overflow
+    tail_rows: Optional[jax.Array]
+    tail_cols: Optional[jax.Array]
+    perm: Optional[jax.Array]        # (m,) int32 or None
+    inv_perm: Optional[jax.Array]
+    shape: Tuple[int, int] = _static_field()
+    block_rows: int = _static_field()
+    chunk_cols: int = _static_field()
+
+    def encode(self, v: jax.Array) -> jax.Array:
+        if self.perm is None:
+            return v
+        return jnp.take(v, self.perm, axis=0)
+
+    def decode(self, out_p: jax.Array) -> jax.Array:
+        if self.inv_perm is None:
+            return out_p
+        return jnp.take(out_p, self.inv_perm, axis=0)
+
+
+class WindowedRowWise(Strategy):
+    """Row-sharded windowed tiles (MXU path) over a 1-D mesh."""
+
+    name = "windowed_row_wise"
+
+    def __init__(self, block_rows: Optional[int] = None,
+                 chunk_cols: Optional[int] = None,
+                 reorder: str | None = "auto"):
+        self.block_rows = block_rows
+        self.chunk_cols = chunk_cols
+        self.reorder = reorder
+
+    def prepare(self, csr, mesh: Mesh) -> WindowedRowOperand:
+        m, n = csr.shape
+        p = int(mesh.devices.size)
+        itemsize = np.asarray(csr.values).dtype.itemsize
+
+        coo = csr.to_coo()
+        i = np.asarray(coo.row_indices).astype(np.int64)
+        j = np.asarray(coo.col_indices).astype(np.int64)
+        vals = np.asarray(coo.values)
+
+        perm = inv_perm = None
+        if self.reorder == "auto" and m == n:
+            from ..formats.reorder import rcm_ordering
+
+            perm = rcm_ordering(csr).astype(np.int32)
+            inv = np.empty(m, dtype=np.int64)
+            inv[perm] = np.arange(m)
+            i, j = inv[i], inv[j]
+            inv_perm = inv.astype(np.int32)
+
+        # Tile shape: pinned or chosen by the single-chip cost model.
+        if self.block_rows is not None:
+            R, C = int(self.block_rows), int(self.chunk_cols or 128)
+        else:
+            best = None
+            for R_c, C_c in ((64, 256), (128, 256), (256, 256),
+                             (128, 512), (256, 512), (8, 128), (32, 128)):
+                if R_c % 8 or R_c > max(m, 8):
+                    continue
+                est, _, _, _, _ = windowed_cost_estimate(
+                    i, j, m, n, R_c, C_c, itemsize)
+                if best is None or est < best[0]:
+                    best = (est, R_c, C_c)
+            _, R, C = best
+
+        pb, pc, tiles_raw, spill_idx = build_dense_pairs(
+            i, j, vals, m, n, R, C, itemsize)
+
+        nb = max(-(-m // R), 1)
+        nb_loc = -(-nb // p)
+        nb_pad = nb_loc * p
+
+        # Per-device pair slices padded to the max count.
+        dev_of_pair = pb // nb_loc
+        counts = np.bincount(dev_of_pair, minlength=p)
+        P_max = max(int(counts.max()), 1)
+        tiles = np.zeros((p * P_max, R, C), dtype=vals.dtype)
+        pair_chunk = np.zeros(p * P_max, dtype=np.int32)
+        # Padding pairs point at the device's last local block (harmless
+        # zero tiles must still belong to a run).
+        pair_pos = np.tile(
+            np.full(P_max, nb_loc - 1, dtype=np.int32), p)
+        block_ptr = np.zeros((p, nb_loc + 1), dtype=np.int32)
+        dev_starts = np.concatenate([[0], np.cumsum(counts)])
+        for d in range(p):
+            lo, hi = dev_starts[d], dev_starts[d + 1]
+            cnt = hi - lo
+            tiles[d * P_max: d * P_max + cnt] = tiles_raw[lo:hi]
+            pair_chunk[d * P_max: d * P_max + cnt] = pc[lo:hi]
+            local_pb = (pb[lo:hi] - d * nb_loc).astype(np.int32)
+            pair_pos[d * P_max: d * P_max + cnt] = local_pb
+            ptr = np.searchsorted(local_pb, np.arange(nb_loc + 1))
+            ptr[-1] = P_max  # absorb padding into the last block's run
+            block_ptr[d] = ptr
+
+        spill_cols = spill_vals = None
+        tail_values = tail_rows = tail_cols = None
+        if len(spill_idx):
+            from ..formats.matrix import COO
+
+            spill_csr = COO.from_arrays(
+                vals[spill_idx], i[spill_idx], j[spill_idx], (m, n)
+            ).to_csr()
+            head, tail = split_csr_by_width(
+                spill_csr, _ell_width_cap(spill_csr, 8))
+            ell = ELL.from_csr(head, row_align=nb_pad * R)
+            spill_cols = np.asarray(ell.cols)
+            spill_vals = np.asarray(ell.vals)
+            if tail is not None:
+                tail = tail.pad_to(-(-tail.nnz // p) * p)
+                tail_values = np.asarray(tail.values)
+                tail_rows = np.asarray(tail.row_indices)
+                tail_cols = np.asarray(tail.col_indices)
+
+        ax = _axis(mesh)
+
+        def put(x, spec):
+            return None if x is None else jax.device_put(
+                jnp.asarray(x), NamedSharding(mesh, spec))
+
+        return WindowedRowOperand(
+            tiles=put(tiles, P(ax, None, None)),
+            pair_chunk=put(pair_chunk, P(ax)),
+            pair_pos=put(pair_pos, P(ax)),
+            block_ptr=put(block_ptr, P(ax, None)),
+            spill_cols=put(spill_cols, P(ax, None)),
+            spill_vals=put(spill_vals, P(ax, None)),
+            tail_values=put(tail_values, P(ax)),
+            tail_rows=put(tail_rows, P(ax)),
+            tail_cols=put(tail_cols, P(ax)),
+            perm=None if perm is None else np.asarray(perm),
+            inv_perm=None if inv_perm is None else np.asarray(inv_perm),
+            shape=(m, n), block_rows=R, chunk_cols=C,
+        )
+
+    def spmm(self, operand: WindowedRowOperand, v: jax.Array, mesh: Mesh,
+             *, gather_result: bool = True) -> jax.Array:
+        """Full-semantics SpMM: encode -> sharded multiply -> decode.
+
+        ``gather_result=False`` leaves the (permuted-space) result
+        row-sharded; callers chaining iterations should use
+        ``chain_parts`` (boundary permutes once)."""
+        out_p = self.spmm_permuted(operand, operand.encode(v), mesh,
+                                   gather_result=gather_result)
+        if gather_result:
+            return operand.decode(out_p)
+        return out_p  # sharded, permuted row order (decode after gather)
+
+    def spmm_permuted(self, operand: WindowedRowOperand, v_p: jax.Array,
+                      mesh: Mesh, *, gather_result: bool = True
+                      ) -> jax.Array:
+        ax = _axis(mesh)
+        m, n = operand.shape
+        R, C = operand.block_rows, operand.chunk_cols
+        p = int(mesh.devices.size)
+        nb_loc = int(operand.block_ptr.shape[1]) - 1
+        k = v_p.shape[1]
+        n_chunks = -(-n // C)
+        v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
+        v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
+        v_pad = jax.device_put(v_pad, NamedSharding(mesh, P(None, None)))
+        has_spill = operand.spill_cols is not None
+        has_tail = operand.tail_values is not None
+        zi = jnp.zeros((0,), jnp.int32)
+        zv = jnp.zeros((0,), v_p.dtype)
+        out = _windowed_row_spmm(
+            mesh, ax, gather_result, has_spill, has_tail, R, nb_loc, m,
+            operand.tiles, operand.pair_chunk, operand.pair_pos,
+            operand.block_ptr,
+            operand.spill_cols if has_spill else jnp.zeros((0, 0),
+                                                           jnp.int32),
+            operand.spill_vals if has_spill else jnp.zeros((0, 0),
+                                                           v_p.dtype),
+            operand.tail_values if has_tail else zv,
+            operand.tail_rows if has_tail else zi,
+            operand.tail_cols if has_tail else zi,
+            v_pad,
+        )
+        return out[:m] if gather_result else out
+
+    def chain_parts(self, operand, mesh: Mesh, *,
+                    gather_result: bool = True):
+        return (
+            lambda v, op: op.encode(v),
+            # Gathered permuted-space output so the next iteration has the
+            # full vector (m == n for chained use).
+            lambda vv, op: self.spmm_permuted(op, vv, mesh,
+                                              gather_result=True),
+            lambda out, op: op.decode(out),
+        )
+
+
+def _local_windowed(tiles_blk, pc_blk, pos_blk, ptr_blk, v_full, nb_loc,
+                    R, k):
+    """Per-device contraction: Pallas block-run kernel on accelerators,
+    einsum + segment-sum on CPU (test) backends."""
+    try:
+        on_cpu = jax.devices()[0].platform == "cpu"
+    except Exception:
+        on_cpu = True
+    C = tiles_blk.shape[2]
+    n_chunks = v_full.shape[0] // C
+    if not on_cpu:
+        from ..ops.pallas_windowed import windowed_matmul_pallas
+
+        out = windowed_matmul_pallas(
+            ptr_blk.reshape(-1), pc_blk, tiles_blk, v_full.T,
+            interpret=False,
+        )
+        return out.reshape(nb_loc * R, k)
+    out_dtype = jnp.promote_types(
+        jnp.float32, jnp.promote_types(tiles_blk.dtype, v_full.dtype))
+    slabs = jnp.take(
+        v_full.reshape(n_chunks, C * k), pc_blk, axis=0
+    ).reshape(-1, C, k)
+    prods = jnp.einsum(
+        "prc,pck->prk", tiles_blk, slabs,
+        preferred_element_type=out_dtype,
+        precision=(jax.lax.Precision.HIGHEST
+                   if tiles_blk.dtype == jnp.float32 else
+                   jax.lax.Precision.DEFAULT))
+    out = jax.ops.segment_sum(prods, pos_blk, num_segments=nb_loc,
+                              indices_are_sorted=True)
+    return out.reshape(nb_loc * R, k)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _windowed_row_spmm(mesh, ax, gather, has_spill, has_tail, R, nb_loc,
+                       m, tiles, pair_chunk, pair_pos, block_ptr,
+                       spill_cols, spill_vals, tv, tr, tc, v_pad):
+    p = mesh.shape[ax]
+    m_padded = nb_loc * p * R
+
+    def body(tiles_blk, pc_blk, pos_blk, ptr_blk, scols_blk, svals_blk,
+             tv_blk, tr_blk, tc_blk, v_full):
+        k = v_full.shape[1]
+        out = _local_windowed(
+            tiles_blk, pc_blk, pos_blk, ptr_blk, v_full, nb_loc, R, k
+        ).astype(v_full.dtype)
+        if has_spill:
+            from ..ops.ell import take_rows
+
+            gathered = take_rows(v_full, scols_blk.reshape(-1))
+            gathered = gathered.reshape(*scols_blk.shape, k)
+            out = out + jnp.sum(
+                svals_blk[:, :, None].astype(v_full.dtype) * gathered,
+                axis=1)
+            if has_tail:
+                prods = tv_blk[:, None].astype(v_full.dtype) * take_rows(
+                    v_full, tc_blk)
+                partial_out = jax.ops.segment_sum(
+                    prods, tr_blk, num_segments=m_padded)
+                out = out + jax.lax.psum_scatter(partial_out, ax,
+                                                 tiled=True)
+        if gather:
+            out = jax.lax.all_gather(out, ax, tiled=True)
+        return out
+
+    in_specs = (P(ax, None, None), P(ax), P(ax), P(ax, None))
+    args = [tiles, pair_chunk, pair_pos, block_ptr]
+    if has_spill:
+        in_specs += (P(ax, None), P(ax, None))
+        args += [spill_cols, spill_vals]
+    else:
+        body_full = body
+        body = lambda t, pc_, pos_, ptr_, v_full: body_full(
+            t, pc_, pos_, ptr_,
+            jnp.zeros((nb_loc * R, 0), jnp.int32),
+            jnp.zeros((nb_loc * R, 0), v_full.dtype),
+            jnp.zeros((0,), v_full.dtype),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), jnp.int32),
+            v_full)
+    if has_tail:
+        in_specs += (P(ax), P(ax), P(ax))
+        args += [tv, tr, tc]
+    elif has_spill:
+        body_sp = body
+        body = lambda t, pc_, pos_, ptr_, sc, sv, v_full: body_sp(
+            t, pc_, pos_, ptr_, sc, sv,
+            jnp.zeros((0,), v_full.dtype),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), jnp.int32),
+            v_full)
+    in_specs += (P(None, None),)
+    args += [v_pad]
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=P(None, None) if gather else P(ax, None),
+        check_vma=False,
+    )(*args)
+
+
+# Register with the strategy name table.
+from .strategies import STRATEGIES  # noqa: E402
+
+STRATEGIES["windowed_row"] = WindowedRowWise
+STRATEGIES["windowed_row_wise"] = WindowedRowWise

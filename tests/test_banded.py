@@ -84,13 +84,22 @@ def test_block_rows_validation():
 
 
 def test_auto_format_selection():
-    band = banded_csr(600, 20, 8, seed=75)
-    assert isinstance(
-        auto_format(band, candidates=(128,)), BandedBlocks
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import COO
+    from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
+        WindowedPairs,
     )
-    skew = powerlaw_csr(600, 600, 4000, seed=76)
-    fmt = auto_format(skew, candidates=(128,), min_coverage=0.9)
-    assert isinstance(fmt, BucketedELL)
+
+    band = banded_csr(600, 20, 8, seed=75)
+    # Banded structure must land on an MXU (dense-tile) format.
+    assert isinstance(
+        auto_format(band, candidates=(128,)), (WindowedPairs, BandedBlocks)
+    )
+    # Uniform random at scale (~1 nnz per tile) must land on a gather
+    # format. (Power-law matrices may legitimately pick a windowed hybrid:
+    # RCM clusters the hubs into dense tiles — see test_windowed.py.)
+    scatter = random_csr(5000, 5000, 20000, seed=76)
+    fmt = auto_format(scatter, min_coverage=0.9)
+    assert isinstance(fmt, (BucketedELL, COO))
 
 
 @pytest.mark.parametrize("maker,seed", [

@@ -1,0 +1,77 @@
+"""Distributed windowed-row strategy tests (8-virtual-device CPU mesh)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    banded_csr, fem3d_csr, generate_fat_vector, powerlaw_csr,
+)
+from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+from sparsematrixmultiplicationmpi_tpu.parallel import make_mesh
+from sparsematrixmultiplicationmpi_tpu.parallel.windowed_strategy import (
+    WindowedRowWise,
+)
+
+
+@pytest.mark.parametrize("p", [1, 2, 4, 8])
+@pytest.mark.parametrize("k", [1, 5])
+def test_windowed_row_matches_oracle(p, k):
+    csr = fem3d_csr(3000, 60000, seed=201)
+    mesh = make_mesh(p)
+    strat = WindowedRowWise(block_rows=32, chunk_cols=128)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], k, seed=202))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    np.testing.assert_allclose(out, spmm_host_f64(csr, np.asarray(v)),
+                               atol=1e-8)
+
+
+def test_windowed_row_ungathered_is_row_sharded_permuted():
+    csr = fem3d_csr(2000, 40000, seed=203)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=32)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 3, seed=204))
+    out_sharded = strat.spmm(operand, v, mesh, gather_result=False)
+    # Ungathered output lives in the operand's permuted row space, padded
+    # to the block grid; decode after a full gather reproduces the oracle.
+    m = csr.shape[0]
+    full = operand.decode(out_sharded[:m])
+    np.testing.assert_allclose(
+        np.asarray(full), spmm_host_f64(csr, np.asarray(v)), atol=1e-8)
+
+
+def test_windowed_row_chain_parts_compose():
+    csr = fem3d_csr(2000, 40000, seed=205)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=32)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 2, seed=206))
+    enc, body, dec = strat.chain_parts(operand, mesh)
+    out2 = dec(body(body(enc(v, operand), operand), operand), operand)
+    oracle2 = spmm_host_f64(csr, spmm_host_f64(csr, np.asarray(v)))
+    np.testing.assert_allclose(np.asarray(out2), oracle2, atol=1e-5)
+
+
+def test_windowed_row_skewed_matrix_spills_safely():
+    csr = powerlaw_csr(3000, 3000, 30000, seed=207)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=16, chunk_cols=128)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 4, seed=208))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    np.testing.assert_allclose(out, spmm_host_f64(csr, np.asarray(v)),
+                               atol=1e-8)
+
+
+def test_windowed_row_banded_no_reorder():
+    csr = banded_csr(2048, 40, 9, seed=209)
+    mesh = make_mesh(8)
+    strat = WindowedRowWise(block_rows=32, reorder=None)
+    operand = strat.prepare(csr, mesh)
+    assert operand.perm is None
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 6, seed=210))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    np.testing.assert_allclose(out, spmm_host_f64(csr, np.asarray(v)),
+                               atol=1e-8)
