@@ -7,13 +7,15 @@ from the class packing), double-buffering both the tile DMA (HBM->VMEM,
 C-aligned offsets from the transposed padded vector). The MXU product of
 each pair accumulates into the VMEM-resident output block.
 
-Measured on v5e (scripts/exp_kernel_probe*.py): the manual DMA pipeline
-sustains ~220-240 GB/s on the tile stream regardless of buffering depth,
-batching, or slab addressing mode, while XLA's own class-packed einsum
-path (``ops/windowed.py``) streams the same tiles at near full HBM
-bandwidth — so the XLA path is the default on TPU
-(``spmm_windowed_core``) and this kernel is kept as the
-fusion-experiment surface, exact and validated but not the fastest.
+Measured on v5e (scripts/exp_kernel_probe*.py): a single manual DMA
+chain sustains only ~220-240 GB/s on the tile stream regardless of
+buffering depth or slab addressing mode, but splitting each tile copy
+into ``S`` parallel sub-copies on separate DMA semaphores engages
+multiple DMA streams: S=4 with a 4-deep pair pipeline reaches
+~460 GB/s (probe7), making this kernel ~2x the XLA class-packed einsum
+path (``ops/windowed.py``), which must materialize gathered slabs. The
+defaults below encode the probe7 sweet spot (S=4, depth=4); S=8/16
+oversubscribe and lose bandwidth.
 """
 
 from __future__ import annotations
@@ -31,89 +33,97 @@ from .ell import spmm_bucketed
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas"]
 
 
-def _kernel(ptr_ref, pc_ref, tiles_ref, v_ref, out_ref,
-            tbuf0, tbuf1, sbuf0, sbuf1, sems):
-    """One grid step = one computed block: loop its pair run, accumulate
-    tiles[p] @ slab(pair_chunk[p]) into the block output."""
-    b = pl.program_id(0)
-    C = tiles_ref.shape[2]
-    lo = ptr_ref[b]
-    hi = ptr_ref[b + 1]
-    total = ptr_ref[pl.num_programs(0)]
+def _pick_substreams(R: int) -> int:
+    """Largest S <= 4 dividing R with 8-sublane-aligned sub-copies."""
+    for s in (4, 2):
+        if R % s == 0 and (R // s) % 8 == 0:
+            return s
+    return 1
 
-    def start_pair(p):
-        @pl.when(p < total)
+
+def _make_kernel(S: int, D: int):
+    """Kernel factory: S parallel tile sub-copies per pair, D-slot ring
+    of (tile, slab) buffers — up to D-1 pairs in flight ahead of
+    compute."""
+
+    def _kernel(ptr_ref, pc_ref, tiles_ref, v_ref, out_ref, tbufs, sbufs,
+                sems):
+        b = pl.program_id(0)
+        R = tiles_ref.shape[1]
+        C = tiles_ref.shape[2]
+        RS = R // S
+        lo = ptr_ref[b]
+        hi = ptr_ref[b + 1]
+        total = ptr_ref[pl.num_programs(0)]
+
+        def start_pair(p):
+            @pl.when(p < total)
+            def _():
+                slot = p % D
+                for s in range(S):
+                    pltpu.make_async_copy(
+                        tiles_ref.at[p, pl.ds(s * RS, RS), :],
+                        tbufs.at[slot, pl.ds(s * RS, RS), :],
+                        sems.at[slot, s],
+                    ).start()
+                pltpu.make_async_copy(
+                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbufs.at[slot],
+                    sems.at[slot, S]).start()
+
+        # Prime the pipeline once; scratch and semaphores persist across
+        # grid steps, so in-flight pairs flow across block boundaries.
+        @pl.when(b == 0)
         def _():
-            even = p % 2 == 0
+            for d in range(D - 1):
+                start_pair(jnp.int32(d))
 
-            @pl.when(even)
-            def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        def body(p, _):
+            start_pair(p + D - 1)
+            slot = p % D
+            for s in range(S):
                 pltpu.make_async_copy(
-                    tiles_ref.at[p], tbuf0, sems.at[0]).start()
-                pltpu.make_async_copy(
-                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf0,
-                    sems.at[1]).start()
-
-            @pl.when(jnp.logical_not(even))
-            def _():
-                pltpu.make_async_copy(
-                    tiles_ref.at[p], tbuf1, sems.at[2]).start()
-                pltpu.make_async_copy(
-                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf1,
-                    sems.at[3]).start()
-
-    # Warm-up once (scratch and semaphores persist across grid steps, so
-    # the pair pipeline flows across block boundaries).
-    @pl.when(b == 0)
-    def _():
-        start_pair(jnp.int32(0))
-
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-
-    def body(p, _):
-        start_pair(p + 1)
-        even = p % 2 == 0
-
-        def accumulate(tbuf, sbuf, tsem, ssem):
-            pltpu.make_async_copy(tiles_ref.at[p], tbuf, sems.at[tsem]
-                                  ).wait()
+                    tiles_ref.at[p, pl.ds(s * RS, RS), :],
+                    tbufs.at[slot, pl.ds(s * RS, RS), :],
+                    sems.at[slot, s]).wait()
             pltpu.make_async_copy(
-                v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbuf, sems.at[ssem]
-            ).wait()
+                v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbufs.at[slot],
+                sems.at[slot, S]).wait()
             out_ref[0] += jax.lax.dot_general(
-                tbuf[:], sbuf[:],
+                tbufs[slot], sbufs[slot],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=out_ref.dtype,
                 precision=(jax.lax.Precision.HIGHEST
-                           if tbuf.dtype == jnp.float32
+                           if tbufs.dtype == jnp.float32
                            else jax.lax.Precision.DEFAULT),
             )
+            return 0
 
-        @pl.when(even)
-        def _():
-            accumulate(tbuf0, sbuf0, 0, 1)
+        jax.lax.fori_loop(lo, hi, body, 0)
 
-        @pl.when(jnp.logical_not(even))
-        def _():
-            accumulate(tbuf1, sbuf1, 2, 3)
-        return 0
-
-    jax.lax.fori_loop(lo, hi, body, 0)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "substreams", "depth"))
 def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
                            tiles: jax.Array, v_pad_t: jax.Array, *,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           substreams: int | None = None,
+                           depth: int = 4) -> jax.Array:
     """Raw fused contraction: (nb_occ, R, k) computed-block outputs.
 
     ``tiles``: (P, R, C) class-packed; ``block_ptr``: (nb_occ + 1,) pair
     run bounds; ``v_pad_t``: (k, n_pad) transposed padded fat vector with
-    n_pad a multiple of C.
+    n_pad a multiple of C. ``substreams``/``depth`` tune the DMA pipeline
+    (None = probe7-calibrated defaults).
     """
     P, R, C = tiles.shape
     k = v_pad_t.shape[0]
     nb_occ = int(block_ptr.shape[0]) - 1
+    S = substreams if substreams is not None else _pick_substreams(R)
+    D = depth
     out_dtype = jnp.promote_types(
         jnp.float32, jnp.promote_types(tiles.dtype, v_pad_t.dtype)
     )
@@ -127,15 +137,13 @@ def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
         out_specs=pl.BlockSpec((1, R, k), lambda b, ptr, pc: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, C), tiles.dtype),
-            pltpu.VMEM((R, C), tiles.dtype),
-            pltpu.VMEM((k, C), v_pad_t.dtype),
-            pltpu.VMEM((k, C), v_pad_t.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((D, R, C), tiles.dtype),
+            pltpu.VMEM((D, k, C), v_pad_t.dtype),
+            pltpu.SemaphoreType.DMA((D, S + 1)),
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(S, D),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_occ, R, k), out_dtype),
         interpret=interpret,
@@ -143,7 +151,9 @@ def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
-                         interpret: bool | None = None) -> jax.Array:
+                         interpret: bool | None = None,
+                         substreams: int | None = None,
+                         depth: int = 4) -> jax.Array:
     """Permuted-space SpMM via the fused kernel (drop-in for
     ``spmm_windowed_xla``). ``interpret=None`` auto-selects interpreter
     mode on CPU backends."""
@@ -168,7 +178,7 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
     computed = windowed_matmul_pallas(
         wp.block_ptr, wp.pair_chunk, jnp.asarray(wp.tiles), v_pad.T,
-        interpret=interpret,
+        interpret=interpret, substreams=substreams, depth=depth,
     )  # (nb_occ, R, k)
     out_dtype = computed.dtype
     padded = jnp.concatenate(
