@@ -337,7 +337,15 @@ class BucketedELL:
         sorted_lengths = lengths[order]
         buckets = []
         perms = []
-        start = 0
+        # Empty rows never enter a bucket: when this format stores a
+        # spill remnant (most rows untouched — formats/windowed.py), they
+        # would otherwise pad the narrowest bucket to m rows x width_align
+        # slots and dominate the gather bill (measured 15.5x slot
+        # inflation on the cop20k stand-in spill). ``inv_row_perm`` routes
+        # them to a zero row appended by the consumer (ops/ell.py).
+        start = int(np.searchsorted(sorted_lengths, 0, side="right"))
+        if start >= m:  # all-empty matrix: keep one all-zero bucket
+            start = m - 1
         for edge in edges:
             stop = int(np.searchsorted(sorted_lengths, edge, side="right"))
             if stop <= start:
@@ -358,7 +366,9 @@ class BucketedELL:
             )
             buckets.append(ell)
         row_perm = np.concatenate(perms)
-        inv_row_perm = np.empty(m, dtype=np.int32)
+        # Rows absent from every bucket (empty rows) index one past the
+        # concatenated bucket rows — consumers append a zero row there.
+        inv_row_perm = np.full(m, len(row_perm), dtype=np.int32)
         real = row_perm < m
         inv_row_perm[row_perm[real]] = np.nonzero(real)[0].astype(np.int32)
         return cls(

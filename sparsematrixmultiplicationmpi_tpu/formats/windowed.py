@@ -26,8 +26,11 @@ mesh-structured matrices (<1 % of nnz on the cop20k stand-in).
 
 The flat pair list (instead of per-block window arrays) means **no
 padding at all** across the skewed per-block window counts, and maps
-directly onto a Pallas kernel whose grid walks pairs while revisiting the
-output block (``ops/pallas_windowed.py``).
+directly onto a Pallas kernel whose grid walks row blocks in natural
+ascending order, each step running its contiguous pair run
+(``ops/pallas_windowed.py``). Empty blocks are zero-length runs — the
+kernel zero-initializes every output block, so no post-pass gather or
+masking is needed.
 
 An optional symmetric permutation (RCM by default for square matrices —
 ``formats/reorder.py``) is applied at build time and carried in the
@@ -53,26 +56,35 @@ import numpy as np
 
 from .matrix import BucketedELL, CSR, _register, _static_field
 
-__all__ = ["WindowedPairs", "windowed_cost_estimate"]
+__all__ = ["WindowedPairs", "windowed_cost_estimate", "windowed_wins",
+           "DEFAULT_CANDIDATES"]
+
+#: Default (R, C) tile-shape candidates for the build-time cost search.
+DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
+                      (128, 512), (256, 512), (512, 512),
+                      (64, 128), (128, 128), (256, 128),
+                      (8, 128), (16, 128), (32, 128))
 
 #: Measured TPU v5e constants driving the dense/spill split (CLAUDE.md
-#: "Measured TPU v5e facts" + round-2 kernel probes,
-#: scripts/exp_kernel_probe*.py): XLA row gather ~4.8 ns/row regardless of
-#: width; streaming at ~819 GB/s HBM bandwidth; each tile additionally
-#: pays a fixed per-matmul/per-DMA-step overhead (~350 ns in the Pallas
-#: block-run kernel, ~650 ns as an XLA batched einsum element) that makes
-#: small tiles overhead-bound — the cost model sizes tiles so streaming
-#: and overhead balance.
+#: "Measured TPU v5e facts" + round-2 kernel measurements,
+#: scripts/exp_windowed_diag.py): XLA row gather ~4.8 ns/row regardless
+#: of width; raw elementwise streaming ~819 GB/s. The fused Pallas kernel
+#: measures per-tile as ~180 ns fixed (DMA issue/wait + dot + loop) plus
+#: tile+slab bytes at ~490 GB/s effective (linear fit over 64/128/256 KB
+#: f32 tiles: 315/434/718 ns per tile) — ADDITIVE, so small tiles are
+#: overhead-bound and the cost model sizes tiles to balance coverage
+#: against the fixed cost.
 HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
-TILE_OVERHEAD_S = 350e-9
+TILE_OVERHEAD_S = 180e-9
+TILE_STREAM_BW = 490e9
 
 
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
-    """Cost of one dense tile: max(streaming, fixed per-tile overhead)
-    plus its fat-vector slab traffic."""
-    stream = (R * C * itemsize + C * k_nominal * 4) / HBM_BW
-    return max(stream, TILE_OVERHEAD_S)
+    """Cost of one dense tile: fixed per-tile overhead plus tile and
+    fat-vector-slab bytes at the measured kernel streaming rate."""
+    stream = (R * C * itemsize + C * k_nominal * 4) / TILE_STREAM_BW
+    return TILE_OVERHEAD_S + stream
 
 
 def _pair_counts(i, j, R: int, C: int, n_chunks: int):
@@ -104,14 +116,6 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
     return est, threshold, dense, uniq, counts
 
 
-#: Window-count class edges: row blocks are grouped by how many dense
-#: tiles they own and padded up to the class edge, so each class is one
-#: dense ``(n_blocks_c, nw_c, R, C)`` einsum operand — no segment-sum, no
-#: scatter anywhere in the compute path. Geometric-ish edges bound the
-#: padding waste at ~25% worst-case, ~10% typical.
-CLASS_EDGES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
-
-
 def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
                       itemsize: int, k_nominal: int = 32):
     """Identify above-threshold (row-block, column-chunk) tiles and
@@ -121,7 +125,7 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
     ``pc_raw``/``tiles_raw`` are the P_raw dense tiles in ascending
     (block, chunk) order and ``spill_idx`` indexes the entries of
     ``(i, j, vals)`` that fall below the dense threshold. Shared by
-    ``WindowedPairs.from_csr`` (class packing on top) and the row-sharded
+    ``WindowedPairs.from_csr`` (block-run pointers on top) and the row-sharded
     distributed strategy (device-range splitting on top).
     """
     n_chunks = -(-n // C)
@@ -146,42 +150,114 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
     return pb_raw, pc_raw, tiles_raw, np.nonzero(~in_dense)[0]
 
 
+def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
+                    chunk_cols=None, reorder="auto",
+                    candidates=DEFAULT_CANDIDATES, k_nominal: int = 32,
+                    max_inflation: float = 96.0,
+                    beat_gather_margin: float = 0.8):
+    """Cost-model search over tile shapes x orderings (host-side numpy).
+
+    Returns the winning ``(est, R, C, perm, i, j, dense, uniq, counts)``
+    tuple, or ``None`` when no configuration beats the pure gather-path
+    estimate by ``beat_gather_margin`` (or no tile clears the dense
+    threshold) — the caller then falls back to a gather format.
+    """
+    m, n = csr.shape
+    itemsize = np.asarray(csr.values).dtype.itemsize
+
+    tile_shapes = []
+    for cand in candidates:
+        r_c = (cand, 128) if isinstance(cand, int) else tuple(cand)
+        r_cand, c_cand = r_c
+        if block_rows is not None:
+            r_cand = int(block_rows)
+        if chunk_cols is not None:
+            c_cand = int(chunk_cols)
+        if c_cand % 128:
+            raise ValueError(
+                f"chunk_cols must be a multiple of 128, got {c_cand}")
+        if r_cand % 8 or r_cand > max(m, 8):
+            continue
+        if (r_cand, c_cand) not in tile_shapes:
+            tile_shapes.append((r_cand, c_cand))
+    if not tile_shapes and block_rows is not None:
+        tile_shapes = [(int(block_rows), int(chunk_cols or 128))]
+
+    # Candidate orderings: as-given, plus RCM for square matrices.
+    orderings = [(None, i0, j0)]
+    if reorder == "auto" and m == n:
+        from .reorder import rcm_ordering
+
+        perm = rcm_ordering(csr)
+        inv = np.empty(m, dtype=np.int64)
+        inv[perm] = np.arange(m)
+        orderings.append((perm, inv[i0], inv[j0]))
+
+    gather_est = csr.nnz * GATHER_S_PER_ROW  # pure-ELL estimate
+    best = None
+    for perm, i, j in orderings:
+        for R, C_cand in tile_shapes:
+            est, _, dense, uniq, counts = windowed_cost_estimate(
+                i, j, m, n, R, C_cand, itemsize, k_nominal
+            )
+            tile_bytes = int(dense.sum()) * R * C_cand * itemsize
+            if tile_bytes > max_inflation * csr.nnz * itemsize:
+                continue
+            if best is None or est < best[0]:
+                best = (est, R, C_cand, perm, i, j, dense, uniq, counts)
+    if best is None:
+        return None
+    if best[0] > beat_gather_margin * gather_est or not best[6].any():
+        return None
+    return best
+
+
+def windowed_wins(csr: "CSR", **search_kwargs) -> bool:
+    """Cheap build-time probe: would ``WindowedPairs.from_csr`` return a
+    format (i.e. some tiling beats the pure gather path)? Used by the
+    Auto strategy's mesh routing to decide windowed vs gather sharding
+    without materializing tiles."""
+    m, _ = csr.shape
+    if m == 0 or csr.nnz == 0:
+        return False
+    coo = csr.to_coo()
+    i0 = np.asarray(coo.row_indices).astype(np.int64)
+    j0 = np.asarray(coo.col_indices).astype(np.int64)
+    return _search_tilings(csr, i0, j0, **search_kwargs) is not None
+
+
 @_register
 @dataclasses.dataclass(frozen=True)
 class WindowedPairs:
-    """Class-packed flat list of dense (R, C) tiles plus bucketed-ELL
+    """Flat block-ascending list of dense (R, C) tiles plus bucketed-ELL
     spill.
 
     ``tiles[p, r, c]`` holds the entry at permuted coordinates
-    ``(block_of(p)*R + r, pair_chunk[p]*C + c)``. Pairs are sorted by
-    (window-count class, block) and each block's run is padded with zero
-    tiles to its class edge, so
+    ``(pair_block[p]*R + r, pair_chunk[p]*C + c)``. Pairs are sorted by
+    (block, chunk), so each row block's tiles are one contiguous run
+    ``tiles[block_ptr[b]:block_ptr[b+1]]`` — the unit the Pallas kernel
+    streams — with **no padding tiles anywhere** (empty blocks are
+    zero-length runs). ``perm`` is the optional symmetric permutation
+    applied at build time (``perm[k]`` = original index at permuted
+    position ``k``).
 
-    * class ``c`` occupies ``tiles[class_start_c :]`` reshapeable to
-      ``(n_blocks_c, nw_c, R, C)`` — one batched MXU einsum per class;
-    * each computed block is one contiguous pair run (what the Pallas
-      kernel walks via ``block_ptr``).
-
-    ``block_ids[i]`` is the actual (permuted-space) row-block id of
-    computed block slot ``i``; ``inv_block_pos[b]`` maps row block ``b``
-    to its slot (or to the trailing zero slot when the block has no dense
-    tiles). ``perm`` is the optional symmetric permutation applied at
-    build time (``perm[k]`` = original index at permuted position ``k``).
+    The iterate protocol works in *padded permuted* space: ``encode``
+    returns a ``(pad_rows, k)`` fat vector (zero tail), ``iterate`` maps
+    ``(pad_rows, k) -> (pad_rows, k)``, and ``decode`` slices off the tail
+    and undoes the permutation — so a chained consumer pays no per-step
+    layout transforms at all.
     """
 
-    tiles: jax.Array                # (P_padded, R, C)
-    pair_chunk: jax.Array           # (P_padded,) int32 (pad pairs -> 0)
-    block_ptr: jax.Array            # (nb_occ + 1,) int32 pair run bounds
-    block_ids: jax.Array            # (nb_occ,) int32
-    inv_block_pos: jax.Array        # (nb,) int32 in [0, nb_occ]
+    tiles: jax.Array                # (P, R, C)
+    pair_chunk: jax.Array           # (P,) int32
+    pair_block: jax.Array           # (P,) int32, ascending
+    block_ptr: jax.Array            # (nb + 1,) int32 pair run bounds
     spill: Optional[BucketedELL]
     perm: Optional[jax.Array]       # (m,) int32 or None
     inv_perm: Optional[jax.Array]   # (m,) int32 or None
     shape: Tuple[int, int] = _static_field()
     block_rows: int = _static_field()
     chunk_cols: int = _static_field()
-    #: ((n_blocks_c, nw_c), ...) per class, concatenated in tile order.
-    class_shapes: Tuple[Tuple[int, int], ...] = _static_field()
     est_seconds: float = _static_field()  # cost-model estimate (k=32)
 
     @property
@@ -197,6 +273,23 @@ class WindowedPairs:
         return -(-self.shape[0] // self.block_rows)
 
     @property
+    def n_chunks(self) -> int:
+        return -(-self.shape[1] // self.chunk_cols)
+
+    @property
+    def pad_rows(self) -> int:
+        """Row count of the padded permuted space the iterate protocol
+        lives in: covers both the chunk grid (inputs) and the block grid
+        (outputs) and is a chunk multiple (the Pallas kernel views the
+        fat vector as ``(pad_rows/C, C, k)`` and DMAs whole chunks —
+        leading-dim indexing, the only slicing Mosaic allows on HBM
+        without 128-lane alignment), so square chained iterations are
+        copy-free."""
+        C = self.chunk_cols
+        raw = max(self.n_chunks * C, self.n_blocks * self.block_rows)
+        return -(-raw // C) * C
+
+    @property
     def dense_bytes(self) -> int:
         return int(self.tiles.size) * self.tiles.dtype.itemsize
 
@@ -207,17 +300,24 @@ class WindowedPairs:
             spill=None if self.spill is None else self.spill.astype(dtype),
         )
 
-    # ---- permuted-space iteration protocol ---------------------------
+    # ---- padded-permuted-space iteration protocol --------------------
     # encode once -> iterate many -> decode once: an iterative consumer
-    # pays the boundary permutes once, not per multiply.
+    # pays the boundary permute/pad once, not per multiply.
     def encode(self, v: jax.Array) -> jax.Array:
-        """Map a fat vector into the operand's (permuted) column space."""
-        if self.perm is None:
-            return v
-        return jnp.take(v, self.perm, axis=0)
+        """Map a fat vector into the operand's padded permuted column
+        space: ``(n, k) -> (pad_rows, k)`` with a zero tail."""
+        if self.perm is not None:
+            v = jnp.take(v, self.perm, axis=0)
+        pad = self.pad_rows - v.shape[0]
+        if pad > 0:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad, v.shape[1]), v.dtype)], axis=0)
+        return v
 
     def decode(self, out_p: jax.Array) -> jax.Array:
-        """Map a permuted-space result back to original row order."""
+        """Map a padded permuted-space result back to original row
+        order: slice the pad tail, undo the permutation."""
+        out_p = out_p[: self.shape[0]]
         if self.inv_perm is None:
             return out_p
         return jnp.take(out_p, self.inv_perm, axis=0)
@@ -238,9 +338,7 @@ class WindowedPairs:
     def from_csr(cls, csr: CSR, *, block_rows: Optional[int] = None,
                  chunk_cols: Optional[int] = None,
                  reorder: str | None = "auto",
-                 candidates=((64, 256), (128, 256), (256, 256),
-                             (128, 512), (256, 512), (512, 512),
-                             (64, 128), (8, 128), (16, 128), (32, 128)),
+                 candidates=DEFAULT_CANDIDATES,
                  k_nominal: int = 32,
                  max_inflation: float = 96.0,
                  beat_gather_margin: float = 0.8
@@ -259,56 +357,20 @@ class WindowedPairs:
             return None
         itemsize = np.asarray(csr.values).dtype.itemsize
 
-        tile_shapes = []
-        for cand in candidates:
-            r_c = (cand, 128) if isinstance(cand, int) else tuple(cand)
-            r_cand, c_cand = r_c
-            if block_rows is not None:
-                r_cand = int(block_rows)
-            if chunk_cols is not None:
-                c_cand = int(chunk_cols)
-            if c_cand % 128:
-                raise ValueError(
-                    f"chunk_cols must be a multiple of 128, got {c_cand}")
-            if r_cand % 8 or r_cand > max(m, 8):
-                continue
-            if (r_cand, c_cand) not in tile_shapes:
-                tile_shapes.append((r_cand, c_cand))
-        if not tile_shapes and block_rows is not None:
-            tile_shapes = [(int(block_rows), int(chunk_cols or 128))]
-
         coo = csr.to_coo()
         i0 = np.asarray(coo.row_indices).astype(np.int64)
         j0 = np.asarray(coo.col_indices).astype(np.int64)
         vals = np.asarray(coo.values)
 
-        # Candidate orderings: as-given, plus RCM for square matrices.
-        orderings = [(None, i0, j0)]
-        if reorder == "auto" and m == n:
-            from .reorder import rcm_ordering
-
-            perm = rcm_ordering(csr)
-            inv = np.empty(m, dtype=np.int64)
-            inv[perm] = np.arange(m)
-            orderings.append((perm, inv[i0], inv[j0]))
-
-        gather_est = csr.nnz * GATHER_S_PER_ROW  # pure-ELL estimate
-        best = None
-        for perm, i, j in orderings:
-            for R, C_cand in tile_shapes:
-                est, threshold, dense, uniq, counts = windowed_cost_estimate(
-                    i, j, m, n, R, C_cand, itemsize, k_nominal
-                )
-                tile_bytes = int(dense.sum()) * R * C_cand * itemsize
-                if tile_bytes > max_inflation * csr.nnz * itemsize:
-                    continue
-                if best is None or est < best[0]:
-                    best = (est, R, C_cand, perm, i, j, dense, uniq, counts)
+        best = _search_tilings(
+            csr, i0, j0, block_rows=block_rows, chunk_cols=chunk_cols,
+            reorder=reorder, candidates=candidates, k_nominal=k_nominal,
+            max_inflation=max_inflation,
+            beat_gather_margin=beat_gather_margin,
+        )
         if best is None:
             return None
         est, R, C, perm, i, j, dense, uniq, counts = best
-        if est > beat_gather_margin * gather_est or not dense.any():
-            return None
 
         n_chunks = -(-n // C)
         key = (i // R).astype(np.int64) * n_chunks + (j // C).astype(np.int64)
@@ -320,59 +382,20 @@ class WindowedPairs:
         p_entry = remap[pair_of_entry]
         in_dense = p_entry >= 0
 
-        # Raw pairs, ascending by (block, chunk) — uniq is sorted.
+        # Pairs ascending by (block, chunk) — uniq is sorted. No padding
+        # tiles: empty blocks are zero-length ``block_ptr`` runs.
         pb_raw = (uniq[dense_ids] // n_chunks).astype(np.int64)
         pc_raw = (uniq[dense_ids] % n_chunks).astype(np.int64)
-        P_raw = len(dense_ids)
+        P = len(dense_ids)
         nb = max(-(-m // R), 1)
+        block_ptr = np.searchsorted(
+            pb_raw, np.arange(nb + 1)).astype(np.int32)
 
-        # Class packing: group row blocks by tile count, pad each block's
-        # run to its class edge (zero tiles, chunk 0) so every class is
-        # one dense einsum operand and every block is one contiguous run.
-        counts_per_block = np.bincount(pb_raw, minlength=nb)
-        occ_blocks = np.nonzero(counts_per_block)[0]
-        nw_occ = counts_per_block[occ_blocks]
-        edges = list(CLASS_EDGES)
-        while nw_occ.max() > edges[-1]:
-            edges.append(edges[-1] * 2)
-        edges_arr = np.asarray(edges)
-        block_cls = np.searchsorted(edges_arr, nw_occ)  # edge >= nw
-        order = np.lexsort((occ_blocks, block_cls))
-        block_ids = occ_blocks[order].astype(np.int32)
-        cls_sorted = block_cls[order]
-        run_len = edges_arr[cls_sorted]
-        block_ptr = np.concatenate(
-            [[0], np.cumsum(run_len)]).astype(np.int32)
-        P = int(block_ptr[-1])
-        nb_occ = len(block_ids)
-        uniq_cls, cls_counts = np.unique(cls_sorted, return_counts=True)
-        class_shapes = tuple(
-            (int(cnt), int(edges_arr[c]))
-            for c, cnt in zip(uniq_cls, cls_counts)
-        )
-
-        # Destination slot of each raw pair: its block's run start plus
-        # its rank within the block (raw pairs are block-contiguous).
-        pos_of_block = np.full(nb, nb_occ, dtype=np.int64)
-        pos_of_block[block_ids] = np.arange(nb_occ)
-        raw_starts = np.concatenate(
-            [[0], np.cumsum(counts_per_block[occ_blocks])])
-        rank_within = np.arange(P_raw) - np.repeat(
-            raw_starts[:-1], counts_per_block[occ_blocks])
-        dest = block_ptr[pos_of_block[pb_raw]] + rank_within
-
-        pair_chunk = np.zeros(P, dtype=np.int32)
-        pair_chunk[dest] = pc_raw
+        pair_chunk = pc_raw.astype(np.int32)
+        pair_block = pb_raw.astype(np.int32)
         tiles = np.zeros((P, R, C), dtype=vals.dtype)
-        tiles[dest[p_entry[in_dense]], i[in_dense] % R,
+        tiles[p_entry[in_dense], i[in_dense] % R,
               j[in_dense] % C] = vals[in_dense]
-        inv_block_pos = np.full(nb, nb_occ, dtype=np.int32)
-        inv_block_pos[block_ids] = np.arange(nb_occ, dtype=np.int32)
-
-        # Honest estimate update: padding tiles stream too.
-        est = est + (P - P_raw) * _pair_cost_s(R, C, itemsize, k_nominal)
-        if est > beat_gather_margin * gather_est:
-            return None
 
         spill = None
         if (~in_dense).any():
@@ -393,11 +416,11 @@ class WindowedPairs:
             inv_perm[perm] = np.arange(m, dtype=np.int32)
             perm = perm.astype(np.int32)
         return cls(
-            tiles=tiles, pair_chunk=pair_chunk, block_ptr=block_ptr,
-            block_ids=block_ids, inv_block_pos=inv_block_pos,
+            tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
+            block_ptr=block_ptr,
             spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
-            class_shapes=class_shapes, est_seconds=float(est),
+            est_seconds=float(est),
         )
 
     def to_dense(self) -> jax.Array:
@@ -405,16 +428,14 @@ class WindowedPairs:
         m, n = self.shape
         R, C = self.block_rows, self.chunk_cols
         tiles = np.asarray(self.tiles)
-        ptr = np.asarray(self.block_ptr).astype(np.int64)
-        bids = np.asarray(self.block_ids).astype(np.int64)
+        pb = np.asarray(self.pair_block).astype(np.int64)
         pc = np.asarray(self.pair_chunk).astype(np.int64)
         nb = self.n_blocks
         n_chunks = -(-n // C)
         out = np.zeros((nb * R, n_chunks * C), dtype=tiles.dtype)
-        for pos, b in enumerate(bids):
-            for p in range(ptr[pos], ptr[pos + 1]):
-                out[b * R:(b + 1) * R,
-                    pc[p] * C:(pc[p] + 1) * C] += tiles[p]
+        for p in range(len(pb)):
+            out[pb[p] * R:(pb[p] + 1) * R,
+                pc[p] * C:(pc[p] + 1) * C] += tiles[p]
         out = out[:m, :n]
         if self.spill is not None:
             out = out + np.asarray(self.spill.to_dense())

@@ -57,5 +57,8 @@ def spmm_bucketed(bell: BucketedELL, v: jax.Array) -> jax.Array:
     restore original row order (gather via ``inv_row_perm`` — cheaper than a
     scatter on TPU)."""
     parts = [spmm_ell(b, v, unpad=False) for b in bell.buckets]
+    # One zero row for rows absent from every bucket (empty rows map one
+    # past the end in ``inv_row_perm`` — see BucketedELL.from_csr).
+    parts.append(jnp.zeros((1, v.shape[1]), parts[0].dtype))
     stacked = jnp.concatenate(parts, axis=0)
     return jnp.take(stacked, bell.inv_row_perm, axis=0)

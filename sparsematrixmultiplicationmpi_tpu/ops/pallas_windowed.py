@@ -1,11 +1,12 @@
 """Fused Pallas TPU kernel for windowed tile-pair SpMM.
 
-The grid walks computed row blocks (one output block per step, written
-once); an inner loop runs the block's contiguous pair run (``block_ptr``
-from the class packing), double-buffering both the tile DMA (HBM->VMEM,
-(R, C) per pair) and the fat-vector slab DMA ((k, C) per pair, sliced at
-C-aligned offsets from the transposed padded vector). The MXU product of
-each pair accumulates into the VMEM-resident output block.
+The grid walks row blocks in natural order (one output block per step,
+zero-initialized then written once); an inner loop runs the block's
+contiguous pair run (``block_ptr``), pipelining both the tile DMA
+(HBM->VMEM, (R, C) per pair) and the fat-vector slab DMA ((C, k) per
+pair — a contiguous natural-layout read at a C-aligned row offset). The
+MXU product of each pair accumulates into the VMEM-resident output
+block.
 
 Measured on v5e (scripts/exp_kernel_probe*.py): a single manual DMA
 chain sustains only ~220-240 GB/s on the tile stream regardless of
@@ -28,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.windowed import WindowedPairs
-from .ell import spmm_bucketed
 
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas"]
 
@@ -66,8 +66,14 @@ def _make_kernel(S: int, D: int):
                         tbufs.at[slot, pl.ds(s * RS, RS), :],
                         sems.at[slot, s],
                     ).start()
+                # Chunk-transposed slab: chunk pc of the (n_chunks, k, C)
+                # fat-vector view — leading-dim indexing (exactly like
+                # the tiles array) with the 128-multiple C on the lane
+                # dim. Slicing a natural (n_chunks, C, k) view instead
+                # puts k (< 128) on the lane dim, which Mosaic rejects
+                # for HBM memref slices.
                 pltpu.make_async_copy(
-                    v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbufs.at[slot],
+                    v_ref.at[pc_ref[p]], sbufs.at[slot],
                     sems.at[slot, S]).start()
 
         # Prime the pipeline once; scratch and semaphores persist across
@@ -88,8 +94,9 @@ def _make_kernel(S: int, D: int):
                     tbufs.at[slot, pl.ds(s * RS, RS), :],
                     sems.at[slot, s]).wait()
             pltpu.make_async_copy(
-                v_ref.at[:, pl.ds(pc_ref[p] * C, C)], sbufs.at[slot],
+                v_ref.at[pc_ref[p]], sbufs.at[slot],
                 sems.at[slot, S]).wait()
+            # (R, C) x (k, C) contracting on C -> (R, k).
             out_ref[0] += jax.lax.dot_general(
                 tbufs[slot], sbufs[slot],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -108,28 +115,35 @@ def _make_kernel(S: int, D: int):
 @functools.partial(
     jax.jit, static_argnames=("interpret", "substreams", "depth"))
 def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
-                           tiles: jax.Array, v_pad_t: jax.Array, *,
+                           tiles: jax.Array, v_pad: jax.Array, *,
                            interpret: bool = False,
                            substreams: int | None = None,
                            depth: int = 4) -> jax.Array:
-    """Raw fused contraction: (nb_occ, R, k) computed-block outputs.
+    """Raw fused contraction: (nb, R, k) block outputs, natural block
+    order (empty runs come out zero).
 
-    ``tiles``: (P, R, C) class-packed; ``block_ptr``: (nb_occ + 1,) pair
-    run bounds; ``v_pad_t``: (k, n_pad) transposed padded fat vector with
-    n_pad a multiple of C. ``substreams``/``depth`` tune the DMA pipeline
-    (None = probe7-calibrated defaults).
+    ``tiles``: (P, R, C) block-sorted; ``block_ptr``: (nb + 1,) pair run
+    bounds; ``v_pad``: (pad_rows, k) natural-layout fat vector with
+    pad_rows >= n_chunks*C. ``substreams``/``depth`` tune the DMA
+    pipeline (None = probe7-calibrated defaults).
     """
     P, R, C = tiles.shape
-    k = v_pad_t.shape[0]
-    nb_occ = int(block_ptr.shape[0]) - 1
+    k = v_pad.shape[1]
+    nb = int(block_ptr.shape[0]) - 1
     S = substreams if substreams is not None else _pick_substreams(R)
     D = depth
+    # Chunk-transposed view: the kernel indexes whole (k, C) slabs on the
+    # leading dim, keeping the 128-multiple C on the lane dim (Mosaic
+    # forbids sub-128 lane-dim slices on HBM, so a natural (C, k) slab
+    # with k < 128 cannot be DMA'd). This transpose is the one
+    # per-iteration layout cost of the chained path.
+    v_chunks = jnp.swapaxes(v_pad.reshape(-1, C, k), 1, 2)
     out_dtype = jnp.promote_types(
-        jnp.float32, jnp.promote_types(tiles.dtype, v_pad_t.dtype)
+        jnp.float32, jnp.promote_types(tiles.dtype, v_pad.dtype)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # block_ptr, pair_chunk
-        grid=(nb_occ,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
@@ -138,35 +152,36 @@ def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((D, R, C), tiles.dtype),
-            pltpu.VMEM((D, k, C), v_pad_t.dtype),
+            pltpu.VMEM((D, k, C), v_pad.dtype),
             pltpu.SemaphoreType.DMA((D, S + 1)),
         ],
     )
     return pl.pallas_call(
         _make_kernel(S, D),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_occ, R, k), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, R, k), out_dtype),
         interpret=interpret,
-    )(block_ptr, pair_chunk, tiles, v_pad_t)
+    )(block_ptr, pair_chunk, tiles, v_chunks)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
                          interpret: bool | None = None,
                          substreams: int | None = None,
                          depth: int = 4) -> jax.Array:
-    """Permuted-space SpMM via the fused kernel (drop-in for
-    ``spmm_windowed_xla``). ``interpret=None`` auto-selects interpreter
-    mode on CPU backends."""
+    """Padded-permuted-space SpMM via the fused kernel (drop-in for
+    ``spmm_windowed_xla``): ``(pad_rows, k) -> (pad_rows, k)``, zero
+    per-step layout transforms. ``interpret=None`` auto-selects
+    interpreter mode on CPU backends."""
+    from .windowed import _finish
+
     if interpret is None:
         try:
             interpret = jax.devices()[0].platform == "cpu"
         except Exception:
             interpret = True
-    m, n = wp.shape
-    R, C = wp.block_rows, wp.chunk_cols
+    R = wp.block_rows
     nb = wp.n_blocks
     k = v_p.shape[1]
-    n_chunks = -(-n // C)
 
     # Match operand dtypes: Mosaic's mixed-precision dot (bf16 tiles x f32
     # slab) was observed numerically wrong on v5e (rel err ~0.7); the
@@ -174,20 +189,8 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     # small integers are exactly representable in bf16 (<= 256).
     if v_p.dtype != wp.tiles.dtype:
         v_p = v_p.astype(wp.tiles.dtype)
-    v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
-    v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
     computed = windowed_matmul_pallas(
-        wp.block_ptr, wp.pair_chunk, jnp.asarray(wp.tiles), v_pad.T,
+        wp.block_ptr, wp.pair_chunk, jnp.asarray(wp.tiles), v_p,
         interpret=interpret, substreams=substreams, depth=depth,
-    )  # (nb_occ, R, k)
-    out_dtype = computed.dtype
-    padded = jnp.concatenate(
-        [computed, jnp.zeros((1, R, k), out_dtype)], axis=0
-    )
-    out_blocks = jnp.take(
-        padded.reshape(padded.shape[0], R * k), wp.inv_block_pos, axis=0
-    )
-    out = out_blocks.reshape(nb * R, k)[:m]
-    if wp.spill is not None:
-        out = out + spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
-    return out
+    )  # (nb, R, k)
+    return _finish(wp, computed.reshape(nb * R, k), v_p)

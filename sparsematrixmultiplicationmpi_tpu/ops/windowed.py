@@ -9,8 +9,13 @@ loops (``SparseMatrixFatVectorMultiplyRowWise.cpp:36-50``) with:
     out[pair_block[p]] += tiles[p] @ slabs[p]      # MXU batched matmul
 
 The only gathers are P slab fetches (P ~ #tiles, thousands — not
-#nonzeros, millions) plus the segment-sum combine; on TPU the Pallas
+#nonzeros, millions) plus the block segment-sum; on TPU the Pallas
 variant removes even the slab materialization.
+
+Core functions live in the operand's *padded permuted* space
+(``WindowedPairs.encode``/``decode``): fat vectors arrive pre-padded to
+``wp.pad_rows`` rows, outputs leave padded — chained consumers pay zero
+per-step layout transforms.
 """
 
 from __future__ import annotations
@@ -32,22 +37,38 @@ def _precision(tiles_dtype, v_dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
-    """Permuted-space SpMM via slab gather + per-class batched einsums.
-
-    The class packing (``formats/windowed.py``) makes every class a dense
-    ``(nbc, nwc, R, C) x (nbc, nwc, C, k) -> (nbc, R, k)`` contraction —
-    no segment-sum, no scatter; the only non-einsum ops are the P slab
-    gathers and one block-granular take at the end.
-
-    ``v_p`` is already in the operand's (permuted) column space.
-    Returns the permuted-space ``(m, k)`` result.
-    """
+def _finish(wp: WindowedPairs, out_blocks: jax.Array,
+            v_p: jax.Array) -> jax.Array:
+    """(nb*R, k) block output -> padded-space result + spill."""
     m, n = wp.shape
+    k = out_blocks.shape[1]
+    pad = wp.pad_rows - out_blocks.shape[0]
+    if pad > 0:
+        out_blocks = jnp.concatenate(
+            [out_blocks, jnp.zeros((pad, k), out_blocks.dtype)], axis=0)
+    out = out_blocks
+    if wp.spill is not None:
+        sp = spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
+        tail = out.shape[0] - m
+        if tail > 0:
+            sp = jnp.concatenate(
+                [sp, jnp.zeros((tail, k), out.dtype)], axis=0)
+        out = out + sp
+    return out
+
+
+def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
+    """Padded-permuted-space SpMM via slab gather + batched einsum +
+    block segment-sum (pairs are block-sorted, so the segment-sum is a
+    sorted reduction, not a scatter).
+
+    ``v_p`` is a ``(pad_rows, k)`` fat vector from ``wp.encode``.
+    Returns the padded-space ``(pad_rows, k)`` result.
+    """
     R, C = wp.block_rows, wp.chunk_cols
     nb = wp.n_blocks
     k = v_p.shape[1]
-    n_chunks = -(-n // C)
+    n_chunks = wp.n_chunks
 
     # f32 accumulation even for bf16 operands (matches the Pallas kernel).
     out_dtype = jnp.promote_types(
@@ -60,40 +81,25 @@ def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
     if v_p.dtype != wp.tiles.dtype:
         v_p = v_p.astype(wp.tiles.dtype)
 
-    v_pad = jnp.zeros((n_chunks * C, k), dtype=v_p.dtype)
-    v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0))
     slabs = jnp.take(
-        v_pad.reshape(n_chunks, C * k), wp.pair_chunk, axis=0
-    )  # (P, C*k)
-    parts = []
-    off = 0
-    precision = _precision(wp.tiles.dtype, v_p.dtype)
-    for nbc, nwc in wp.class_shapes:
-        cnt = nbc * nwc
-        t = wp.tiles[off: off + cnt].reshape(nbc, nwc, R, C)
-        s = slabs[off: off + cnt].reshape(nbc, nwc, C, k)
-        parts.append(jnp.einsum(
-            "bwrc,bwck->brk", t, s,
-            preferred_element_type=out_dtype, precision=precision,
-        ))
-        off += cnt
-    computed = jnp.concatenate(
-        parts + [jnp.zeros((1, R, k), out_dtype)], axis=0
-    )  # (nb_occ + 1, R, k); trailing zero block for tile-less rows
-    out_blocks = jnp.take(
-        computed.reshape(computed.shape[0], R * k), wp.inv_block_pos,
+        v_p[: n_chunks * C].reshape(n_chunks, C * k), wp.pair_chunk,
         axis=0,
-    )  # (nb, R*k) — block-granular gather, nb rows (cheap)
-    out = out_blocks.reshape(nb * R, k)[:m]
-    if wp.spill is not None:
-        out = out + spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
-    return out
+    ).reshape(-1, C, k)  # (P, C, k)
+    prods = jnp.einsum(
+        "prc,pck->prk", wp.tiles, slabs,
+        preferred_element_type=out_dtype,
+        precision=_precision(wp.tiles.dtype, v_p.dtype),
+    )
+    out_blocks = jax.ops.segment_sum(
+        prods, wp.pair_block, num_segments=nb, indices_are_sorted=True
+    ).reshape(nb * R, k)
+    return _finish(wp, out_blocks, v_p)
 
 
 def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
                        use_pallas: bool | None = None) -> jax.Array:
-    """Permuted-space SpMM, dispatching to the fused Pallas kernel on
-    accelerator backends (``use_pallas=None`` auto-selects)."""
+    """Padded-permuted-space SpMM, dispatching to the fused Pallas kernel
+    on accelerator backends (``use_pallas=None`` auto-selects)."""
     if use_pallas is None:
         try:
             use_pallas = jax.devices()[0].platform != "cpu"
@@ -111,8 +117,8 @@ def spmm_windowed(wp: WindowedPairs, v: jax.Array, *,
     """Full SpMM in original coordinates: encode -> iterate -> decode.
 
     Iterative consumers should instead call ``wp.encode`` once, chain
-    ``wp.iterate``, and ``wp.decode`` once — the boundary permutes are
-    one-time costs (the PETSc never-regather lesson,
+    ``wp.iterate``, and ``wp.decode`` once — the boundary permute/pad is
+    a one-time cost (the PETSc never-regather lesson,
     ``report/425500_Report.tex:1092-1095``).
     """
     return wp.decode(

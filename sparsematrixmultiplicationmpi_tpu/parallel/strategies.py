@@ -444,6 +444,12 @@ class Auto(Strategy):
                 from .banded_strategy import BandedRowWise
 
                 return BandedRowWise().prepare(csr, mesh)
+            from ..formats.windowed import windowed_wins
+
+            if windowed_wins(csr):
+                from .windowed_strategy import WindowedRowWise
+
+                return WindowedRowWise().prepare(csr, mesh)
             return RowWise().prepare(csr, mesh)
         operand = auto_format(csr, **self.format_kwargs)
         return jax.device_put(operand, mesh.devices.flat[0])
@@ -451,9 +457,14 @@ class Auto(Strategy):
     def spmm(self, operand, v: jax.Array, mesh: Mesh, *,
              gather_result: bool = True) -> jax.Array:
         from .banded_strategy import BandedRowOperand, BandedRowWise
+        from .windowed_strategy import WindowedRowOperand, WindowedRowWise
 
         if isinstance(operand, BandedRowOperand):
             return BandedRowWise().spmm(
+                operand, v, mesh, gather_result=gather_result
+            )
+        if isinstance(operand, WindowedRowOperand):
+            return WindowedRowWise().spmm(
                 operand, v, mesh, gather_result=gather_result
             )
         if isinstance(operand, HybridRowOperand):
@@ -465,6 +476,8 @@ class Auto(Strategy):
     def chain_parts(self, operand, mesh: Mesh, *,
                     gather_result: bool = True):
         from ..formats.windowed import WindowedPairs
+        from .banded_strategy import BandedRowOperand, BandedRowWise
+        from .windowed_strategy import WindowedRowOperand, WindowedRowWise
 
         if isinstance(operand, WindowedPairs):
             return (
@@ -472,6 +485,12 @@ class Auto(Strategy):
                 lambda vv, op: op.iterate(vv),
                 lambda out, op: op.decode(out),
             )
+        if isinstance(operand, BandedRowOperand):
+            return BandedRowWise().chain_parts(
+                operand, mesh, gather_result=gather_result)
+        if isinstance(operand, WindowedRowOperand):
+            return WindowedRowWise().chain_parts(
+                operand, mesh, gather_result=gather_result)
         return super().chain_parts(
             operand, mesh, gather_result=gather_result
         )

@@ -266,7 +266,7 @@ def _local_windowed(tiles_blk, pc_blk, pos_blk, ptr_blk, v_full, nb_loc,
         from ..ops.pallas_windowed import windowed_matmul_pallas
 
         out = windowed_matmul_pallas(
-            ptr_blk.reshape(-1), pc_blk, tiles_blk, v_full.T,
+            ptr_blk.reshape(-1), pc_blk, tiles_blk, v_full,
             interpret=False,
         )
         return out.reshape(nb_loc * R, k)

@@ -97,11 +97,18 @@ def test_bucketed_ell_perm_is_permutation(rng):
     csr = powerlaw_csr(100, 100, 900, seed=6)
     bell = BucketedELL.from_csr(csr)
     m = csr.shape[0]
+    lengths = csr.row_lengths()
     perm = np.asarray(bell.row_perm)
     real = perm[perm < m]
-    assert sorted(real.tolist()) == list(range(m))
+    # Every NON-EMPTY row appears exactly once; empty rows are dropped
+    # (they would otherwise pad the narrowest bucket — the round-2 spill
+    # slot-inflation fix) and route to the appended zero row instead.
+    nonempty = np.nonzero(lengths > 0)[0]
+    assert sorted(real.tolist()) == nonempty.tolist()
     inv = np.asarray(bell.inv_row_perm)
-    np.testing.assert_array_equal(perm[inv], np.arange(m))
+    np.testing.assert_array_equal(perm[inv[nonempty]], nonempty)
+    empty = np.nonzero(lengths == 0)[0]
+    assert (inv[empty] == len(perm)).all()
 
 
 def test_pytree_jit(rng):
