@@ -18,16 +18,30 @@ matrices = {
     "uniform_random_100k": random_csr(100_000, 100_000, 1_200_000, seed=13).astype(jnp.float32),
     "cop20k_like": cop20k_like().astype(jnp.float32),
 }
+progress = lambda r: print(  # noqa: E731
+    f"{r.matrix} k={r.k} {r.strategy} ({r.dtype}): "
+    f"{r.execution_time*1e3:.3f} ms "
+    f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}",
+    flush=True)
 records = sweep(
     matrices, ks=[1, 6, 12, 32],
     strategy_names=["row", "column", "nnz", "auto", "library"],
     device_counts=[1], warmup=1, iters=2, amortized=True,
+    comm_split=True,
     checkpoint_csv="results/tpu_v5e_sweep.csv",
     resume_from="results/tpu_v5e_sweep.csv",
-    progress=lambda r: print(
-        f"{r.matrix} k={r.k} {r.strategy}: {r.execution_time*1e3:.3f} ms "
-        f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}",
-        flush=True),
+    progress=progress,
+)
+# bf16 tier (VERDICT round-1 #9): the Auto strategy under the comparator's
+# documented bf16 tolerance, suffixed names so resume keys stay unique.
+records += sweep(
+    {f"{name}_bf16": csr for name, csr in matrices.items()
+     if name in ("cop20k_like", "fem_banded_100k", "powerlaw_100k")},
+    ks=[32], strategy_names=["auto"], device_counts=[1],
+    warmup=1, iters=2, amortized=True, dtype=jnp.bfloat16,
+    checkpoint_csv="results/tpu_v5e_sweep.csv",
+    resume_from="results/tpu_v5e_sweep.csv",
+    progress=progress,
 )
 write_json("results/tpu_v5e_sweep.json", records,
            hardware="TPU v5e (1 chip)", note="amortized steady-state timing")

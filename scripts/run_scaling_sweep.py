@@ -75,7 +75,7 @@ def main() -> int:
     records = sweep(
         matrices, ks=ks, strategy_names=strategies,
         device_counts=devices, warmup=1, iters=2, amortized=True,
-        job_timeout=600.0,
+        job_timeout=600.0, comm_split=True,
         checkpoint_csv=csv_path, resume_from=csv_path,
         progress=lambda r: print(
             f"{r.matrix} k={r.k} p={r.devices} {r.strategy}: "
