@@ -91,9 +91,9 @@ for R, C in shapes:
         tiles = jnp.asarray(wp_dev.tiles)
         t0 = time.time()
         tm, _ = measure_amortized(
-            lambda vp_, bp_, pc_, t_: windowed_matmul_pallas(
-                bp_, pc_, t_, vp_),
-            v_p, wp_dev.block_ptr, wp_dev.pair_chunk, tiles,
+            lambda vp_, pb_, pc_, t_: windowed_matmul_pallas(
+                pb_, pc_, t_, vp_, nb=wp.n_blocks),
+            v_p, wp_dev.pair_block, wp_dev.pair_chunk, tiles,
             inner=20, warmup=1, iters=3)
         per = tm.seconds_per_iter
         bw = wp.dense_bytes / per / 1e9

@@ -26,11 +26,12 @@ mesh-structured matrices (<1 % of nnz on the cop20k stand-in).
 
 The flat pair list (instead of per-block window arrays) means **no
 padding at all** across the skewed per-block window counts, and maps
-directly onto a Pallas kernel whose grid walks row blocks in natural
-ascending order, each step running its contiguous pair run
-(``ops/pallas_windowed.py``). Empty blocks are zero-length runs — the
-kernel zero-initializes every output block, so no post-pass gather or
-masking is needed.
+directly onto an auto-pipelined Pallas block-sparse kernel whose grid
+walks the pair list, revisiting each row block's accumulator across its
+contiguous pair run (``ops/pallas_windowed.py``). Every row block holds
+at least one pair (otherwise-empty blocks get one dummy zero tile at
+build time), so the kernel's output is fully covered — no post-pass
+gather or masking.
 
 An optional symmetric permutation (RCM by default for square matrices —
 ``formats/reorder.py``) is applied at build time and carried in the
@@ -67,17 +68,17 @@ DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
 
 #: Measured TPU v5e constants driving the dense/spill split (CLAUDE.md
 #: "Measured TPU v5e facts" + round-2 kernel measurements,
-#: scripts/exp_windowed_diag.py): XLA row gather ~4.8 ns/row regardless
-#: of width; raw elementwise streaming ~819 GB/s. The fused Pallas kernel
-#: measures per-tile as ~180 ns fixed (DMA issue/wait + dot + loop) plus
-#: tile+slab bytes at ~490 GB/s effective (linear fit over 64/128/256 KB
-#: f32 tiles: 315/434/718 ns per tile) — ADDITIVE, so small tiles are
-#: overhead-bound and the cost model sizes tiles to balance coverage
-#: against the fixed cost.
+#: scripts/exp_kernel_probe10.py): XLA row gather ~4.8 ns/row regardless
+#: of width; raw elementwise streaming ~819 GB/s. The auto-pipelined
+#: Pallas kernel measures per-pair as ~114 ns fixed (grid-step scalar
+#: work + dot issue) plus tile+slab bytes at ~455 GB/s effective (least
+#: squares over 81/147/294 KB f32 steps: 315/403/770 ns per pair) —
+#: ADDITIVE, so small tiles are overhead-bound and the cost model sizes
+#: tiles to balance coverage against the fixed cost.
 HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
-TILE_OVERHEAD_S = 180e-9
-TILE_STREAM_BW = 490e9
+TILE_OVERHEAD_S = 114e-9
+TILE_STREAM_BW = 455e9
 
 
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
@@ -235,9 +236,10 @@ class WindowedPairs:
     ``tiles[p, r, c]`` holds the entry at permuted coordinates
     ``(pair_block[p]*R + r, pair_chunk[p]*C + c)``. Pairs are sorted by
     (block, chunk), so each row block's tiles are one contiguous run
-    ``tiles[block_ptr[b]:block_ptr[b+1]]`` — the unit the Pallas kernel
-    streams — with **no padding tiles anywhere** (empty blocks are
-    zero-length runs). ``perm`` is the optional symmetric permutation
+    ``tiles[block_ptr[b]:block_ptr[b+1]]``; every block's run is
+    non-empty (build inserts a dummy zero tile into empty blocks so the
+    Pallas kernel's revisited output covers all of them).
+    ``perm`` is the optional symmetric permutation
     applied at build time (``perm[k]`` = original index at permuted
     position ``k``).
 
@@ -382,20 +384,36 @@ class WindowedPairs:
         p_entry = remap[pair_of_entry]
         in_dense = p_entry >= 0
 
-        # Pairs ascending by (block, chunk) — uniq is sorted. No padding
-        # tiles: empty blocks are zero-length ``block_ptr`` runs.
+        # Pairs ascending by (block, chunk) — uniq is sorted.
         pb_raw = (uniq[dense_ids] // n_chunks).astype(np.int64)
         pc_raw = (uniq[dense_ids] % n_chunks).astype(np.int64)
         P = len(dense_ids)
         nb = max(-(-m // R), 1)
-        block_ptr = np.searchsorted(
-            pb_raw, np.arange(nb + 1)).astype(np.int32)
 
-        pair_chunk = pc_raw.astype(np.int32)
-        pair_block = pb_raw.astype(np.int32)
         tiles = np.zeros((P, R, C), dtype=vals.dtype)
         tiles[p_entry[in_dense], i[in_dense] % R,
               j[in_dense] % C] = vals[in_dense]
+
+        # Coverage guarantee: the Pallas kernel only writes blocks it
+        # visits, so every otherwise-empty row block gets one dummy zero
+        # tile (chunk 0). Rare on matrices this format wins on.
+        present = np.zeros(nb, dtype=bool)
+        present[pb_raw] = True
+        missing = np.nonzero(~present)[0]
+        if len(missing):
+            pb_raw = np.concatenate([pb_raw, missing])
+            pc_raw = np.concatenate(
+                [pc_raw, np.zeros(len(missing), np.int64)])
+            tiles = np.concatenate(
+                [tiles, np.zeros((len(missing), R, C), tiles.dtype)])
+            order = np.argsort(pb_raw, kind="stable")
+            pb_raw, pc_raw, tiles = pb_raw[order], pc_raw[order], \
+                tiles[order]
+
+        block_ptr = np.searchsorted(
+            pb_raw, np.arange(nb + 1)).astype(np.int32)
+        pair_chunk = pc_raw.astype(np.int32)
+        pair_block = pb_raw.astype(np.int32)
 
         spill = None
         if (~in_dense).any():
@@ -405,9 +423,11 @@ class WindowedPairs:
                 vals[~in_dense], i[~in_dense], j[~in_dense], (m, n)
             )
             # Off-tile stragglers are short rows: fine-grained bucket
-            # widths cut padded gather rows (gather is per-row-bound).
+            # widths cut padded gather rows (gather is per-row-bound;
+            # width_align=2 measured 0.14 ms faster than 4 on the cop20k
+            # spill, scripts/exp_kernel_probe11.py).
             spill = BucketedELL.from_csr(
-                spill_coo.to_csr(), width_align=4, max_buckets=12
+                spill_coo.to_csr(), width_align=2, max_buckets=16
             )
 
         inv_perm = None

@@ -1,22 +1,29 @@
 """Fused Pallas TPU kernel for windowed tile-pair SpMM.
 
-The grid walks row blocks in natural order (one output block per step,
-zero-initialized then written once); an inner loop runs the block's
-contiguous pair run (``block_ptr``), pipelining both the tile DMA
-(HBM->VMEM, (R, C) per pair) and the fat-vector slab DMA ((C, k) per
-pair — a contiguous natural-layout read at a C-aligned row offset). The
-MXU product of each pair accumulates into the VMEM-resident output
-block.
+Idiomatic block-sparse matmul: the grid walks the flat pair list (one
+dense (R, C) tile per step); BlockSpec index_maps read the prefetched
+scalar arrays to fetch each pair's tile (``p``), its fat-vector slab
+(``pair_chunk[p]``, from the chunk-transposed ``(n_chunks, k, C)`` view)
+and its output block (``pair_block[p]``). Pairs are block-sorted, so the
+output index is non-decreasing: Mosaic keeps the accumulator block in
+VMEM across the pair run and writes it back when the block index changes
+(the standard revisited-reduction pattern). The kernel body zeroes the
+accumulator on each block's first pair and adds one MXU contraction.
 
-Measured on v5e (scripts/exp_kernel_probe*.py): a single manual DMA
-chain sustains only ~220-240 GB/s on the tile stream regardless of
-buffering depth or slab addressing mode, but splitting each tile copy
-into ``S`` parallel sub-copies on separate DMA semaphores engages
-multiple DMA streams: S=4 with a 4-deep pair pipeline reaches
-~460 GB/s (probe7), making this kernel ~2x the XLA class-packed einsum
-path (``ops/windowed.py``), which must materialize gathered slabs. The
-defaults below encode the probe7 sweet spot (S=4, depth=4); S=8/16
-oversubscribe and lose bandwidth.
+Mosaic's automatic pipeliner double-buffers all three streams — measured
+374 GB/s effective on the cop20k stand-in at (256, 128) f32 tiles
+(scripts/exp_kernel_probe10.py), beating every hand-rolled DMA-chain
+variant (probe6-9: 220-330 GB/s, best one-off 460 GB/s that never
+reproduced under production control flow) with a fraction of the code.
+
+Every output block must be visited or its contents are garbage:
+``WindowedPairs.from_csr`` guarantees coverage by inserting one dummy
+zero tile into each otherwise-empty row block (rare on the matrices this
+format wins on).
+
+Replaces the reference row-wise hot loop
+(``SparseMatrixFatVectorMultiplyRowWise.cpp:36-50``) at MXU tile
+granularity.
 """
 
 from __future__ import annotations
@@ -33,141 +40,70 @@ from ..formats.windowed import WindowedPairs
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas"]
 
 
-def _pick_substreams(R: int) -> int:
-    """Largest S <= 4 dividing R with 8-sublane-aligned sub-copies."""
-    for s in (4, 2):
-        if R % s == 0 and (R // s) % 8 == 0:
-            return s
-    return 1
+def _kernel(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref,
+            *, f32_highest: bool):
+    p = pl.program_id(0)
 
-
-def _make_kernel(S: int, D: int):
-    """Kernel factory: S parallel tile sub-copies per pair, D-slot ring
-    of (tile, slab) buffers — up to D-1 pairs in flight ahead of
-    compute."""
-
-    def _kernel(ptr_ref, pc_ref, tiles_ref, v_ref, out_ref, tbufs, sbufs,
-                sems):
-        b = pl.program_id(0)
-        R = tiles_ref.shape[1]
-        C = tiles_ref.shape[2]
-        RS = R // S
-        lo = ptr_ref[b]
-        hi = ptr_ref[b + 1]
-        total = ptr_ref[pl.num_programs(0)]
-
-        def start_pair(p):
-            @pl.when(p < total)
-            def _():
-                slot = p % D
-                for s in range(S):
-                    pltpu.make_async_copy(
-                        tiles_ref.at[p, pl.ds(s * RS, RS), :],
-                        tbufs.at[slot, pl.ds(s * RS, RS), :],
-                        sems.at[slot, s],
-                    ).start()
-                # Chunk-transposed slab: chunk pc of the (n_chunks, k, C)
-                # fat-vector view — leading-dim indexing (exactly like
-                # the tiles array) with the 128-multiple C on the lane
-                # dim. Slicing a natural (n_chunks, C, k) view instead
-                # puts k (< 128) on the lane dim, which Mosaic rejects
-                # for HBM memref slices.
-                pltpu.make_async_copy(
-                    v_ref.at[pc_ref[p]], sbufs.at[slot],
-                    sems.at[slot, S]).start()
-
-        # Prime the pipeline once; scratch and semaphores persist across
-        # grid steps, so in-flight pairs flow across block boundaries.
-        @pl.when(b == 0)
-        def _():
-            for d in range(D - 1):
-                start_pair(jnp.int32(d))
-
+    @pl.when(first_ref[p] == 1)
+    def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-        def body(p, _):
-            start_pair(p + D - 1)
-            slot = p % D
-            for s in range(S):
-                pltpu.make_async_copy(
-                    tiles_ref.at[p, pl.ds(s * RS, RS), :],
-                    tbufs.at[slot, pl.ds(s * RS, RS), :],
-                    sems.at[slot, s]).wait()
-            pltpu.make_async_copy(
-                v_ref.at[pc_ref[p]], sbufs.at[slot],
-                sems.at[slot, S]).wait()
-            # (R, C) x (k, C) contracting on C -> (R, k).
-            out_ref[0] += jax.lax.dot_general(
-                tbufs[slot], sbufs[slot],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=out_ref.dtype,
-                precision=(jax.lax.Precision.HIGHEST
-                           if tbufs.dtype == jnp.float32
-                           else jax.lax.Precision.DEFAULT),
-            )
-            return 0
-
-        jax.lax.fori_loop(lo, hi, body, 0)
-
-    return _kernel
+    # (R, C) x (k, C) contracting on C -> (R, k).
+    out_ref[0] += jax.lax.dot_general(
+        tile_ref[0], slab_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=out_ref.dtype,
+        precision=(jax.lax.Precision.HIGHEST if f32_highest
+                   else jax.lax.Precision.DEFAULT),
+    )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("interpret", "substreams", "depth"))
-def windowed_matmul_pallas(block_ptr: jax.Array, pair_chunk: jax.Array,
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
                            tiles: jax.Array, v_pad: jax.Array, *,
-                           interpret: bool = False,
-                           substreams: int | None = None,
-                           depth: int = 4) -> jax.Array:
-    """Raw fused contraction: (nb, R, k) block outputs, natural block
-    order (empty runs come out zero).
+                           nb: int, interpret: bool = False) -> jax.Array:
+    """Raw fused contraction: ``(nb, R, k)`` block outputs.
 
-    ``tiles``: (P, R, C) block-sorted; ``block_ptr``: (nb + 1,) pair run
-    bounds; ``v_pad``: (pad_rows, k) natural-layout fat vector with
-    pad_rows >= n_chunks*C. ``substreams``/``depth`` tune the DMA
-    pipeline (None = probe7-calibrated defaults).
+    ``tiles``: (P, R, C) block-sorted; ``pair_block``: (P,) ascending
+    block ids covering every block in [0, nb); ``v_pad``: (pad_rows, k)
+    natural-layout fat vector with pad_rows >= n_chunks*C.
     """
     P, R, C = tiles.shape
     k = v_pad.shape[1]
-    nb = int(block_ptr.shape[0]) - 1
-    S = substreams if substreams is not None else _pick_substreams(R)
-    D = depth
-    # Chunk-transposed view: the kernel indexes whole (k, C) slabs on the
-    # leading dim, keeping the 128-multiple C on the lane dim (Mosaic
-    # forbids sub-128 lane-dim slices on HBM, so a natural (C, k) slab
-    # with k < 128 cannot be DMA'd). This transpose is the one
-    # per-iteration layout cost of the chained path.
+    # Chunk-transposed view: slabs are fetched by leading-dim index with
+    # the 128-multiple C on the lane dim (Mosaic forbids sub-128 lane-dim
+    # windows on HBM, so a natural (C, k) slab with k < 128 cannot be
+    # pipelined). The transpose is the one per-call layout cost.
     v_chunks = jnp.swapaxes(v_pad.reshape(-1, C, k), 1, 2)
     out_dtype = jnp.promote_types(
         jnp.float32, jnp.promote_types(tiles.dtype, v_pad.dtype)
     )
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
+    ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # block_ptr, pair_chunk
-        grid=(nb,),
+        num_scalar_prefetch=3,  # pair_block, pair_chunk, first
+        grid=(P,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # v stays in HBM
+            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
+            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, R, k), lambda b, ptr, pc: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((D, R, C), tiles.dtype),
-            pltpu.VMEM((D, k, C), v_pad.dtype),
-            pltpu.SemaphoreType.DMA((D, S + 1)),
-        ],
+        out_specs=pl.BlockSpec((1, R, k),
+                               lambda p, pb, pc, fr: (pb[p], 0, 0)),
     )
+    kernel = functools.partial(
+        _kernel, f32_highest=tiles.dtype == jnp.float32)
     return pl.pallas_call(
-        _make_kernel(S, D),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, k), out_dtype),
         interpret=interpret,
-    )(block_ptr, pair_chunk, tiles, v_chunks)
+    )(pair_block, pair_chunk, first, tiles, v_chunks)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
-                         interpret: bool | None = None,
-                         substreams: int | None = None,
-                         depth: int = 4) -> jax.Array:
+                         interpret: bool | None = None) -> jax.Array:
     """Padded-permuted-space SpMM via the fused kernel (drop-in for
     ``spmm_windowed_xla``): ``(pad_rows, k) -> (pad_rows, k)``, zero
     per-step layout transforms. ``interpret=None`` auto-selects
@@ -190,7 +126,7 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     if v_p.dtype != wp.tiles.dtype:
         v_p = v_p.astype(wp.tiles.dtype)
     computed = windowed_matmul_pallas(
-        wp.block_ptr, wp.pair_chunk, jnp.asarray(wp.tiles), v_p,
-        interpret=interpret, substreams=substreams, depth=depth,
+        wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles), v_p,
+        nb=nb, interpret=interpret,
     )  # (nb, R, k)
     return _finish(wp, computed.reshape(nb * R, k), v_p)

@@ -132,26 +132,44 @@ class WindowedRowWise(Strategy):
         nb_loc = -(-nb // p)
         nb_pad = nb_loc * p
 
-        # Per-device pair slices padded to the max count.
+        # Per-device pair slices. Every local block must hold at least
+        # one pair (the auto-pipelined Pallas kernel only writes blocks
+        # it visits), so uncovered local blocks — including the phantom
+        # blocks past m on the last device — get a dummy zero tile; then
+        # all devices pad to the max count with trailing zero pairs on
+        # the last local block.
         dev_of_pair = pb // nb_loc
         counts = np.bincount(dev_of_pair, minlength=p)
-        P_max = max(int(counts.max()), 1)
+        dev_starts = np.concatenate([[0], np.cumsum(counts)])
+        per_dev = []
+        for d in range(p):
+            lo, hi = dev_starts[d], dev_starts[d + 1]
+            local_pb = (pb[lo:hi] - d * nb_loc).astype(np.int32)
+            present = np.zeros(nb_loc, dtype=bool)
+            present[local_pb] = True
+            missing = np.nonzero(~present)[0].astype(np.int32)
+            cnt = hi - lo
+            tl = np.zeros((cnt + len(missing), R, C), dtype=vals.dtype)
+            tl[:cnt] = tiles_raw[lo:hi]
+            pcd = np.concatenate(
+                [pc[lo:hi].astype(np.int32),
+                 np.zeros(len(missing), np.int32)])
+            pbd = np.concatenate([local_pb, missing])
+            order = np.argsort(pbd, kind="stable")
+            per_dev.append((tl[order], pcd[order], pbd[order]))
+
+        P_max = max(max(len(t[2]) for t in per_dev), 1)
         tiles = np.zeros((p * P_max, R, C), dtype=vals.dtype)
         pair_chunk = np.zeros(p * P_max, dtype=np.int32)
-        # Padding pairs point at the device's last local block (harmless
-        # zero tiles must still belong to a run).
         pair_pos = np.tile(
             np.full(P_max, nb_loc - 1, dtype=np.int32), p)
         block_ptr = np.zeros((p, nb_loc + 1), dtype=np.int32)
-        dev_starts = np.concatenate([[0], np.cumsum(counts)])
-        for d in range(p):
-            lo, hi = dev_starts[d], dev_starts[d + 1]
-            cnt = hi - lo
-            tiles[d * P_max: d * P_max + cnt] = tiles_raw[lo:hi]
-            pair_chunk[d * P_max: d * P_max + cnt] = pc[lo:hi]
-            local_pb = (pb[lo:hi] - d * nb_loc).astype(np.int32)
-            pair_pos[d * P_max: d * P_max + cnt] = local_pb
-            ptr = np.searchsorted(local_pb, np.arange(nb_loc + 1))
+        for d, (tl, pcd, pbd) in enumerate(per_dev):
+            cnt = len(pbd)
+            tiles[d * P_max: d * P_max + cnt] = tl
+            pair_chunk[d * P_max: d * P_max + cnt] = pcd
+            pair_pos[d * P_max: d * P_max + cnt] = pbd
+            ptr = np.searchsorted(pbd, np.arange(nb_loc + 1))
             ptr[-1] = P_max  # absorb padding into the last block's run
             block_ptr[d] = ptr
 
@@ -266,8 +284,8 @@ def _local_windowed(tiles_blk, pc_blk, pos_blk, ptr_blk, v_full, nb_loc,
         from ..ops.pallas_windowed import windowed_matmul_pallas
 
         out = windowed_matmul_pallas(
-            ptr_blk.reshape(-1), pc_blk, tiles_blk, v_full,
-            interpret=False,
+            pos_blk, pc_blk, tiles_blk, v_full,
+            nb=nb_loc, interpret=False,
         )
         return out.reshape(nb_loc * R, k)
     out_dtype = jnp.promote_types(

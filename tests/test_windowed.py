@@ -108,10 +108,11 @@ def test_windowed_pallas_interpret_parity():
         np.testing.assert_allclose(pal, ref, rtol=2e-5, atol=2e-2)
 
 
-def test_windowed_unvisited_blocks_are_zeroed():
-    """Row blocks whose every tile falls below the dense threshold are
-    never written by the Pallas kernel — the wrapper must mask them to
-    zero, and their entries must come back through the spill path."""
+def test_windowed_empty_blocks_get_dummy_coverage():
+    """Row blocks whose every tile falls below the dense threshold get a
+    dummy zero tile at build time (the auto-pipelined Pallas kernel only
+    writes blocks it visits), and their entries come back through the
+    spill path."""
     m = 256
     rows = np.arange(0, 64)  # a dense cluster in block 0
     dense = np.zeros((m, m))
@@ -125,7 +126,11 @@ def test_windowed_unvisited_blocks_are_zeroed():
     wp = WindowedPairs.from_csr(csr, block_rows=8, reorder=None)
     assert wp is not None and wp.spill is not None
     counts = np.diff(np.asarray(wp.block_ptr))
-    assert (counts == 0).any()  # some blocks own no dense tiles
+    assert (counts >= 1).all()  # every block covered (dummies included)
+    # dummy tiles are all-zero and live in otherwise-empty blocks
+    pb = np.asarray(wp.pair_block)
+    tile_sums = np.abs(np.asarray(wp.tiles)).sum(axis=(1, 2))
+    assert (tile_sums == 0).any()
     v = jnp.asarray(generate_fat_vector(m, 2, seed=82))
     oracle = spmm_host_f64(csr, np.asarray(v))
     np.testing.assert_allclose(
