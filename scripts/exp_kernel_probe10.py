@@ -33,6 +33,10 @@ R = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 C = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 tdtype = jnp.bfloat16 if (len(sys.argv) > 3 and sys.argv[3] == "bf16") \
     else jnp.float32
+PRECISION = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[
+    sys.argv[4] if len(sys.argv) > 4 else "highest"]
 k = 32
 m = 121192
 nb = m // R + 1
@@ -61,8 +65,7 @@ def kernel(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref):
         tile_ref[0], slab_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST
-                   if tiles.dtype == jnp.float32
+        precision=(PRECISION if tiles.dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT))
 
 
