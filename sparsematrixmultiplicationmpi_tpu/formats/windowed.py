@@ -255,6 +255,7 @@ class WindowedPairs:
     pair_block: jax.Array           # (P,) int32, ascending
     block_ptr: jax.Array            # (nb + 1,) int32 pair run bounds
     spill: Optional[BucketedELL]
+    spill_rows: Optional[jax.Array]  # sorted permuted rows with spill nnz
     perm: Optional[jax.Array]       # (m,) int32 or None
     inv_perm: Optional[jax.Array]   # (m,) int32 or None
     shape: Tuple[int, int] = _static_field()
@@ -415,7 +416,7 @@ class WindowedPairs:
         pair_chunk = pc_raw.astype(np.int32)
         pair_block = pb_raw.astype(np.int32)
 
-        spill = None
+        spill = spill_rows = None
         if (~in_dense).any():
             from .matrix import COO
 
@@ -429,6 +430,12 @@ class WindowedPairs:
             spill = BucketedELL.from_csr(
                 spill_coo.to_csr(), width_align=2, max_buckets=16
             )
+            # Static sorted spill-row list: lets the hot path restore the
+            # spill with a compact gather + scatter-add over only these
+            # rows instead of a take over all m (ops/ell.py::
+            # spmm_bucketed_into) — the dominant spill cost when few rows
+            # spill.
+            spill_rows = np.unique(i[~in_dense]).astype(np.int32)
 
         inv_perm = None
         if perm is not None:
@@ -438,7 +445,8 @@ class WindowedPairs:
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
             block_ptr=block_ptr,
-            spill=spill, perm=perm, inv_perm=inv_perm,
+            spill=spill, spill_rows=spill_rows, perm=perm,
+            inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
             est_seconds=float(est),
         )

@@ -48,6 +48,14 @@ def _finish(wp: WindowedPairs, out_blocks: jax.Array,
             [out_blocks, jnp.zeros((pad, k), out_blocks.dtype)], axis=0)
     out = out_blocks
     if wp.spill is not None:
+        if wp.spill_rows is not None:
+            # Compact restore: gather + scatter-add over only the rows
+            # that actually spill (measured ~2.5x cheaper than the m-row
+            # take at 19 % spill rows, scripts/exp_kernel_probe13.py).
+            from .ell import spmm_bucketed_into
+
+            return spmm_bucketed_into(
+                wp.spill, v_p[:n], out, wp.spill_rows)
         sp = spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
         tail = out.shape[0] - m
         if tail > 0:
