@@ -81,6 +81,24 @@ TILE_OVERHEAD_S = 114e-9
 TILE_STREAM_BW = 455e9
 
 
+def _split_planes(tiles):
+    """bf16 (hi, lo) split planes of an f32 tile array (exact:
+    ``hi.astype(f32) + lo.astype(f32) == tiles``), or (None, None) for
+    other dtypes. Works on numpy or jax inputs, stays host-side for
+    numpy (format constructors keep arrays host-side per CLAUDE.md)."""
+    if tiles.dtype != np.float32 and tiles.dtype != jnp.float32:
+        return None, None
+    if isinstance(tiles, np.ndarray):
+        import ml_dtypes
+
+        hi = tiles.astype(ml_dtypes.bfloat16)
+        lo = (tiles - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return hi, lo
+    hi = tiles.astype(jnp.bfloat16)
+    lo = (tiles - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
     """Cost of one dense tile: fixed per-tile overhead plus tile and
     fat-vector-slab bytes at the measured kernel streaming rate."""
@@ -254,6 +272,11 @@ class WindowedPairs:
     pair_chunk: jax.Array           # (P,) int32
     pair_block: jax.Array           # (P,) int32, ascending
     block_ptr: jax.Array            # (nb + 1,) int32 pair run bounds
+    #: bf16 split planes of f32 tiles (``hi + lo == tiles`` exactly —
+    #: bf16 keeps f32's exponent range): the 3-pass Pallas kernel's
+    #: operands (``ops/pallas_windowed.py``). None for non-f32 data.
+    tiles_hi: Optional[jax.Array]   # (P, R, C) bf16
+    tiles_lo: Optional[jax.Array]   # (P, R, C) bf16
     spill: Optional[BucketedELL]
     spill_rows: Optional[jax.Array]  # sorted permuted rows with spill nnz
     perm: Optional[jax.Array]       # (m,) int32 or None
@@ -297,9 +320,11 @@ class WindowedPairs:
         return int(self.tiles.size) * self.tiles.dtype.itemsize
 
     def astype(self, dtype) -> "WindowedPairs":
+        tiles = self.tiles.astype(dtype)
+        hi, lo = _split_planes(tiles)
         return dataclasses.replace(
             self,
-            tiles=self.tiles.astype(dtype),
+            tiles=tiles, tiles_hi=hi, tiles_lo=lo,
             spill=None if self.spill is None else self.spill.astype(dtype),
         )
 
@@ -442,9 +467,10 @@ class WindowedPairs:
             inv_perm = np.empty(m, dtype=np.int32)
             inv_perm[perm] = np.arange(m, dtype=np.int32)
             perm = perm.astype(np.int32)
+        tiles_hi, tiles_lo = _split_planes(tiles)
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
-            block_ptr=block_ptr,
+            block_ptr=block_ptr, tiles_hi=tiles_hi, tiles_lo=tiles_lo,
             spill=spill, spill_rows=spill_rows, perm=perm,
             inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for windowed tile-pair SpMM.
+"""Fused Pallas TPU kernels for windowed tile-pair SpMM.
 
 Idiomatic block-sparse matmul: the grid walks the flat pair list (one
 dense (R, C) tile per step); BlockSpec index_maps read the prefetched
@@ -10,11 +10,32 @@ VMEM across the pair run and writes it back when the block index changes
 (the standard revisited-reduction pattern). The kernel body zeroes the
 accumulator on each block's first pair and adds one MXU contraction.
 
-Mosaic's automatic pipeliner double-buffers all three streams — measured
-374 GB/s effective on the cop20k stand-in at (256, 128) f32 tiles
-(scripts/exp_kernel_probe10.py), beating every hand-rolled DMA-chain
-variant (probe6-9: 220-330 GB/s, best one-off 460 GB/s that never
-reproduced under production control flow) with a fraction of the code.
+Mosaic's automatic pipeliner double-buffers all three streams, beating
+every hand-rolled DMA-chain variant (probe6-9: 220-460 GB/s) with a
+fraction of the code. Measured per-tile cost decomposes as ~114 ns fixed
+grid-step overhead plus MXU passes — the kernel is MXU-bound, NOT
+DMA-bound, because the k=32 output occupies only a quarter of the 128
+MXU lanes and f32 HIGHEST costs 6 bf16 passes
+(scripts/exp_kernel_probe10.py, probe13).
+
+Two precision modes attack that:
+
+* **split3** (f32 operands): tiles are pre-split at build time into bf16
+  ``hi`` (round-to-nearest) and ``lo`` (exact residual — bf16 has f32's
+  exponent range, so ``hi + lo == x`` exactly); the fat-vector slabs are
+  split the same way by the fused relayout kernel. Three DEFAULT-
+  precision dots ``th@sh + tl@sh + th@sl`` give ~17-bit effective
+  mantissa (rel err ~1e-5, inside the documented f32 tier of 5e-3
+  relative — ``utils/compare.py::default_tolerance``) at half the MXU
+  passes of HIGHEST. Mosaic does not implement ``Precision.HIGH``
+  (NotImplementedError, probe10h), so this manual decomposition is the
+  only 3-pass route. Same DMA bytes as f32.
+* **bf16 operands**: one DEFAULT-precision dot, f32 accumulator.
+
+``chunk_slabs`` is the companion per-iterate relayout: XLA lowers the
+``(pad, k) -> (chunks, k, C)`` chunk transpose at ~74 GB/s (~0.4 ms on
+the cop20k stand-in); the Pallas version streams it at HBM-class rates
+and fuses the bf16 hi/lo split for free.
 
 Every output block must be visited or its contents are garbage:
 ``WindowedPairs.from_csr`` guarantees coverage by inserting one dummy
@@ -37,47 +58,123 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.windowed import WindowedPairs
 
-__all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas"]
+__all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas",
+           "chunk_slabs"]
 
 
-def _kernel(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref,
-            *, f32_highest: bool):
+def _dot_cc(a, b, precision):
+    """(R, C) x (k, C) contracting on C -> (R, k)."""
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _kernel_plain(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref,
+                  *, f32_highest: bool):
     p = pl.program_id(0)
 
     @pl.when(first_ref[p] == 1)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # (R, C) x (k, C) contracting on C -> (R, k).
-    out_ref[0] += jax.lax.dot_general(
+    out_ref[0] += _dot_cc(
         tile_ref[0], slab_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=out_ref.dtype,
-        precision=(jax.lax.Precision.HIGHEST if f32_highest
-                   else jax.lax.Precision.DEFAULT),
-    )
+        jax.lax.Precision.HIGHEST if f32_highest
+        else jax.lax.Precision.DEFAULT)
+
+
+def _kernel_split3(pb_ref, pc_ref, first_ref, th_ref, tl_ref,
+                   sh_ref, sl_ref, out_ref):
+    p = pl.program_id(0)
+
+    @pl.when(first_ref[p] == 1)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    d = jax.lax.Precision.DEFAULT
+    out_ref[0] += (_dot_cc(th_ref[0], sh_ref[0], d)
+                   + _dot_cc(tl_ref[0], sh_ref[0], d)
+                   + _dot_cc(th_ref[0], sl_ref[0], d))
+
+
+def _split_bf16(x32):
+    hi = x32.astype(jnp.bfloat16)
+    lo = (x32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("C", "split", "interpret"))
+def chunk_slabs(v_pad: jax.Array, *, C: int, split: bool,
+                interpret: bool = False):
+    """Per-iterate fat-vector relayout ``(pad, k) -> (chunks, k, C)``.
+
+    With ``split`` the result is the bf16 ``(hi, lo)`` pair for the
+    split3 kernel (exact decomposition); otherwise a single array in
+    ``v_pad``'s dtype. Uses a Pallas relayout kernel on TPU (XLA's
+    swapaxes runs at ~74 GB/s here); plain XLA elsewhere.
+    """
+    n_chunks = v_pad.shape[0] // C
+    k = v_pad.shape[1]
+    vc = v_pad.reshape(n_chunks, C, k)
+
+    if interpret:
+        t = jnp.swapaxes(vc, 1, 2)
+        if split:
+            return _split_bf16(t)
+        return (t,)
+
+    if split:
+        def tkern(v_ref, hi_ref, lo_ref):
+            t = jnp.swapaxes(v_ref[0], 0, 1)
+            hi, lo = _split_bf16(t)
+            hi_ref[0] = hi
+            lo_ref[0] = lo
+
+        out_shape = [
+            jax.ShapeDtypeStruct((n_chunks, k, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_chunks, k, C), jnp.bfloat16),
+        ]
+        out_specs = [pl.BlockSpec((1, k, C), lambda c: (c, 0, 0)),
+                     pl.BlockSpec((1, k, C), lambda c: (c, 0, 0))]
+    else:
+        def tkern(v_ref, out_ref):
+            out_ref[0] = jnp.swapaxes(v_ref[0], 0, 1)
+
+        out_shape = [jax.ShapeDtypeStruct((n_chunks, k, C), v_pad.dtype)]
+        out_specs = [pl.BlockSpec((1, k, C), lambda c: (c, 0, 0))]
+
+    out = pl.pallas_call(
+        tkern,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, C, k), lambda c: (c, 0, 0))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(vc)
+    return tuple(out) if isinstance(out, (list, tuple)) else (out,)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
                            tiles: jax.Array, v_pad: jax.Array, *,
                            nb: int, interpret: bool = False) -> jax.Array:
-    """Raw fused contraction: ``(nb, R, k)`` block outputs.
+    """Raw fused contraction, single-array-tiles mode: ``(nb, R, k)``.
 
     ``tiles``: (P, R, C) block-sorted; ``pair_block``: (P,) ascending
     block ids covering every block in [0, nb); ``v_pad``: (pad_rows, k)
-    natural-layout fat vector with pad_rows >= n_chunks*C.
+    natural-layout fat vector with pad_rows >= n_chunks*C. f32 tiles use
+    HIGHEST (6-pass); prefer the split3 path via ``spmm_windowed_pallas``
+    for f32 production use.
     """
     P, R, C = tiles.shape
     k = v_pad.shape[1]
-    # Chunk-transposed view: slabs are fetched by leading-dim index with
-    # the 128-multiple C on the lane dim (Mosaic forbids sub-128 lane-dim
-    # windows on HBM, so a natural (C, k) slab with k < 128 cannot be
-    # pipelined). The transpose is the one per-call layout cost.
-    v_chunks = jnp.swapaxes(v_pad.reshape(-1, C, k), 1, 2)
-    out_dtype = jnp.promote_types(
-        jnp.float32, jnp.promote_types(tiles.dtype, v_pad.dtype)
-    )
+    if v_pad.dtype != tiles.dtype:
+        v_pad = v_pad.astype(tiles.dtype)
+    (v_chunks,) = chunk_slabs(v_pad, C=C, split=False,
+                              interpret=interpret)
     first = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
@@ -93,13 +190,47 @@ def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
                                lambda p, pb, pc, fr: (pb[p], 0, 0)),
     )
     kernel = functools.partial(
-        _kernel, f32_highest=tiles.dtype == jnp.float32)
+        _kernel_plain, f32_highest=tiles.dtype == jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, R, k), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
         interpret=interpret,
     )(pair_block, pair_chunk, first, tiles, v_chunks)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def windowed_matmul_split3(pair_block: jax.Array, pair_chunk: jax.Array,
+                           tiles_hi: jax.Array, tiles_lo: jax.Array,
+                           v_pad: jax.Array, *,
+                           nb: int, interpret: bool = False) -> jax.Array:
+    """Raw fused contraction, split-bf16 3-pass f32 mode."""
+    P, R, C = tiles_hi.shape
+    k = v_pad.shape[1]
+    sh, sl = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
+                         interpret=interpret)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
+    ])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
+            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
+            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
+            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, R, k),
+                               lambda p, pb, pc, fr: (pb[p], 0, 0)),
+    )
+    return pl.pallas_call(
+        _kernel_split3,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
+        interpret=interpret,
+    )(pair_block, pair_chunk, first, tiles_hi, tiles_lo, sh, sl)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
@@ -107,7 +238,15 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     """Padded-permuted-space SpMM via the fused kernel (drop-in for
     ``spmm_windowed_xla``): ``(pad_rows, k) -> (pad_rows, k)``, zero
     per-step layout transforms. ``interpret=None`` auto-selects
-    interpreter mode on CPU backends."""
+    interpreter mode on CPU backends.
+
+    f32 operands dispatch to the split3 3-pass kernel when the format
+    carries pre-split tile planes (``WindowedPairs.from_csr`` builds them
+    for f32 data); bf16 operands use the single-pass DEFAULT dot. Mixed
+    tiles/vector dtypes are aligned to the tiles' dtype first — Mosaic's
+    mixed-precision dot (bf16 x f32) was observed numerically wrong on
+    v5e (rel err ~0.7).
+    """
     from .windowed import _finish
 
     if interpret is None:
@@ -119,14 +258,19 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     nb = wp.n_blocks
     k = v_p.shape[1]
 
-    # Match operand dtypes: Mosaic's mixed-precision dot (bf16 tiles x f32
-    # slab) was observed numerically wrong on v5e (rel err ~0.7); the
-    # native bf16 x bf16 -> f32 path is exact per product. Fat vectors of
-    # small integers are exactly representable in bf16 (<= 256).
-    if v_p.dtype != wp.tiles.dtype:
-        v_p = v_p.astype(wp.tiles.dtype)
-    computed = windowed_matmul_pallas(
-        wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles), v_p,
-        nb=nb, interpret=interpret,
-    )  # (nb, R, k)
+    if (wp.tiles.dtype == jnp.float32 and wp.tiles_hi is not None
+            and wp.tiles_lo is not None):
+        computed = windowed_matmul_split3(
+            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_hi),
+            jnp.asarray(wp.tiles_lo), v_p, nb=nb, interpret=interpret,
+        )
+    else:
+        if v_p.dtype != wp.tiles.dtype:
+            v_p_k = v_p.astype(wp.tiles.dtype)
+        else:
+            v_p_k = v_p
+        computed = windowed_matmul_pallas(
+            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles), v_p_k,
+            nb=nb, interpret=interpret,
+        )  # (nb, R, k)
     return _finish(wp, computed.reshape(nb * R, k), v_p)
