@@ -92,9 +92,37 @@ t0 = time.perf_counter()
 r, it = pr(op3)
 s = float(r.sum()); it = int(it)
 dt = time.perf_counter() - t0
+
+# Steady-state per-iteration cost via the two-point slope (the single
+# while-loop dispatch above is dominated by remote dispatch/fetch
+# latency — VERDICT round-1 weak #6): run fixed-iteration variants at
+# two chain lengths; the slope cancels every per-dispatch cost.
+import functools
+
+@functools.partial(jax.jit, static_argnums=1)
+def pr_fixed(op, iters):
+    return pagerank(lambda v: spmm_any(op, v), norm.shape[0],
+                    tol=0.0, max_iter=iters, dtype=jnp.float32)
+
+def timed_fixed(iters_n):
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rr, _ = pr_fixed(op3, iters_n)
+        float(rr[0])  # value fetch = the only reliable barrier here
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+for n_it in (10, 60):
+    pr_fixed(op3, n_it)  # compile
+t10, t60 = timed_fixed(10), timed_fixed(60)
+per_iter_ms = (t60 - t10) / 50 * 1e3
+
 results["pagerank_121k"] = {
     "total_ms": round(dt*1e3, 1), "iterations": it,
-    "ms_per_iteration": round(dt*1e3/max(it,1), 3), "rank_sum": round(s, 6)}
+    "ms_per_iteration_steady": round(per_iter_ms, 3),
+    "dispatch_overhead_ms": round(t10*1e3 - 10*per_iter_ms, 1),
+    "rank_sum": round(s, 6)}
 print(results["pagerank_121k"], flush=True)
 
 with open("results/models_tpu.json", "w") as fo:
