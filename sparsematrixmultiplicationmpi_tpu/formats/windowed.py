@@ -68,17 +68,19 @@ DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
 
 #: Measured TPU v5e constants driving the dense/spill split (CLAUDE.md
 #: "Measured TPU v5e facts" + round-2 kernel measurements,
-#: scripts/exp_kernel_probe10.py): XLA row gather ~4.8 ns/row regardless
-#: of width; raw elementwise streaming ~819 GB/s. The auto-pipelined
-#: Pallas kernel measures per-pair as ~114 ns fixed (grid-step scalar
-#: work + dot issue) plus tile+slab bytes at ~455 GB/s effective (least
-#: squares over 81/147/294 KB f32 steps: 315/403/770 ns per pair) —
-#: ADDITIVE, so small tiles are overhead-bound and the cost model sizes
-#: tiles to balance coverage against the fixed cost.
+#: scripts/exp_kernel_probe10.py, probe13): XLA row gather ~4.8 ns/row
+#: regardless of width; raw elementwise streaming ~819 GB/s. The
+#: auto-pipelined Pallas kernel is MXU/overhead-bound, modeled per-pair
+#: as ~114 ns fixed (grid-step scalar work + dot issue) plus tile+slab
+#: bytes at an effective rate — ~590 GB/s for the production split-bf16
+#: 3-pass f32 kernel (613.6 ns at (256,256) f32; the retired 6-pass
+#: HIGHEST kernel fit ~455 GB/s) — ADDITIVE, so small tiles are
+#: overhead-bound and the cost model sizes tiles to balance coverage
+#: against the fixed cost.
 HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
 TILE_OVERHEAD_S = 114e-9
-TILE_STREAM_BW = 455e9
+TILE_STREAM_BW = 590e9
 
 
 def _split_planes(tiles):
@@ -278,7 +280,6 @@ class WindowedPairs:
     tiles_hi: Optional[jax.Array]   # (P, R, C) bf16
     tiles_lo: Optional[jax.Array]   # (P, R, C) bf16
     spill: Optional[BucketedELL]
-    spill_rows: Optional[jax.Array]  # sorted permuted rows with spill nnz
     perm: Optional[jax.Array]       # (m,) int32 or None
     inv_perm: Optional[jax.Array]   # (m,) int32 or None
     shape: Tuple[int, int] = _static_field()
@@ -441,7 +442,7 @@ class WindowedPairs:
         pair_chunk = pc_raw.astype(np.int32)
         pair_block = pb_raw.astype(np.int32)
 
-        spill = spill_rows = None
+        spill = None
         if (~in_dense).any():
             from .matrix import COO
 
@@ -455,12 +456,6 @@ class WindowedPairs:
             spill = BucketedELL.from_csr(
                 spill_coo.to_csr(), width_align=2, max_buckets=16
             )
-            # Static sorted spill-row list: lets the hot path restore the
-            # spill with a compact gather + scatter-add over only these
-            # rows instead of a take over all m (ops/ell.py::
-            # spmm_bucketed_into) — the dominant spill cost when few rows
-            # spill.
-            spill_rows = np.unique(i[~in_dense]).astype(np.int32)
 
         inv_perm = None
         if perm is not None:
@@ -471,8 +466,7 @@ class WindowedPairs:
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
             block_ptr=block_ptr, tiles_hi=tiles_hi, tiles_lo=tiles_lo,
-            spill=spill, spill_rows=spill_rows, perm=perm,
-            inv_perm=inv_perm,
+            spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
             est_seconds=float(est),
         )

@@ -62,24 +62,3 @@ def spmm_bucketed(bell: BucketedELL, v: jax.Array) -> jax.Array:
     parts.append(jnp.zeros((1, v.shape[1]), parts[0].dtype))
     stacked = jnp.concatenate(parts, axis=0)
     return jnp.take(stacked, bell.inv_row_perm, axis=0)
-
-
-def spmm_bucketed_into(bell: BucketedELL, v: jax.Array, base: jax.Array,
-                       rows: jax.Array) -> jax.Array:
-    """Add the bucketed-ELL SpMM into ``base`` touching only ``rows``.
-
-    ``rows`` is the static sorted list of rows with at least one nonzero
-    (``WindowedPairs.spill_rows``). When that list is much shorter than m,
-    this replaces the full restore ``take`` over m rows plus a full-size
-    add (~4.8 ns/row + 2 x m x k bytes) with a gather + sorted-unique
-    scatter-add over only ``len(rows)`` rows — the spill-restore tax on
-    the windowed format's hot path (measured ~2.5x cheaper at 23 k spill
-    rows of m=121 k, scripts/exp_kernel_probe13.py ``scat``).
-    """
-    parts = [spmm_ell(b, v, unpad=False) for b in bell.buckets]
-    stacked = jnp.concatenate(parts, axis=0)
-    compact = jnp.take(stacked, jnp.take(bell.inv_row_perm, rows), axis=0)
-    return base.at[rows].add(
-        compact.astype(base.dtype),
-        indices_are_sorted=True, unique_indices=True,
-    )

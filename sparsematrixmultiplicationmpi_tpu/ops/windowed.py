@@ -48,14 +48,11 @@ def _finish(wp: WindowedPairs, out_blocks: jax.Array,
             [out_blocks, jnp.zeros((pad, k), out_blocks.dtype)], axis=0)
     out = out_blocks
     if wp.spill is not None:
-        if wp.spill_rows is not None:
-            # Compact restore: gather + scatter-add over only the rows
-            # that actually spill (measured ~2.5x cheaper than the m-row
-            # take at 19 % spill rows, scripts/exp_kernel_probe13.py).
-            from .ell import spmm_bucketed_into
-
-            return spmm_bucketed_into(
-                wp.spill, v_p[:n], out, wp.spill_rows)
+        # Restore via the m-row take, NOT a compact scatter-add over the
+        # spill rows: measured on v5e, scatter-add of 23 k rows costs
+        # 573 us vs 419 us for the full take+add (TPU scatters pay ~24
+        # ns/row — scripts/exp_kernel_probe13.py ``scat``; consistent
+        # with the round-1 "scatters cost ~2x gathers" finding).
         sp = spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
         tail = out.shape[0] - m
         if tail > 0:
