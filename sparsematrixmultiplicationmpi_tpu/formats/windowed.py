@@ -84,10 +84,12 @@ TILE_STREAM_BW = 590e9
 
 
 def _split_planes(tiles):
-    """bf16 (hi, lo) split planes of an f32 tile array (exact:
-    ``hi.astype(f32) + lo.astype(f32) == tiles``), or (None, None) for
-    other dtypes. Works on numpy or jax inputs, stays host-side for
-    numpy (format constructors keep arrays host-side per CLAUDE.md)."""
+    """bf16 (hi, lo) split planes of an f32 tile array, or (None, None)
+    for other dtypes. ``hi + lo`` reconstructs ``tiles`` to ~16-17
+    mantissa bits (~4e-6 relative: the f32 residual is exact, its bf16
+    storage rounds once more). Works on numpy or jax inputs, stays
+    host-side for numpy (format constructors keep arrays host-side per
+    CLAUDE.md)."""
     if tiles.dtype != np.float32 and tiles.dtype != jnp.float32:
         return None, None
     if isinstance(tiles, np.ndarray):
@@ -274,9 +276,9 @@ class WindowedPairs:
     pair_chunk: jax.Array           # (P,) int32
     pair_block: jax.Array           # (P,) int32, ascending
     block_ptr: jax.Array            # (nb + 1,) int32 pair run bounds
-    #: bf16 split planes of f32 tiles (``hi + lo == tiles`` exactly —
-    #: bf16 keeps f32's exponent range): the 3-pass Pallas kernel's
-    #: operands (``ops/pallas_windowed.py``). None for non-f32 data.
+    #: bf16 split planes of f32 tiles (``hi + lo`` ~ tiles to ~4e-6
+    #: relative): the 3-pass Pallas kernel's operands
+    #: (``ops/pallas_windowed.py``). None for non-f32 data.
     tiles_hi: Optional[jax.Array]   # (P, R, C) bf16
     tiles_lo: Optional[jax.Array]   # (P, R, C) bf16
     spill: Optional[BucketedELL]

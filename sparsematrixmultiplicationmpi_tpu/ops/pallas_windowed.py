@@ -21,15 +21,16 @@ MXU lanes and f32 HIGHEST costs 6 bf16 passes
 Two precision modes attack that:
 
 * **split3** (f32 operands): tiles are pre-split at build time into bf16
-  ``hi`` (round-to-nearest) and ``lo`` (exact residual — bf16 has f32's
-  exponent range, so ``hi + lo == x`` exactly); the fat-vector slabs are
-  split the same way by the fused relayout kernel. Three DEFAULT-
-  precision dots ``th@sh + tl@sh + th@sl`` give ~17-bit effective
-  mantissa (rel err ~1e-5, inside the documented f32 tier of 5e-3
-  relative — ``utils/compare.py::default_tolerance``) at half the MXU
-  passes of HIGHEST. Mosaic does not implement ``Precision.HIGH``
-  (NotImplementedError, probe10h), so this manual decomposition is the
-  only 3-pass route. Same DMA bytes as f32.
+  ``hi`` (round-to-nearest) and ``lo`` (the f32 residual, re-rounded to
+  bf16 — ``hi + lo`` carries ~16-17 mantissa bits, ~4e-6 relative); the
+  fat-vector slabs are split the same way by the fused relayout kernel.
+  Three DEFAULT-precision dots ``th@sh + tl@sh + th@sl`` measure ~1e-4
+  relative end-to-end (probe13) — inside the documented f32 tier of 5e-3
+  relative (``utils/compare.py::default_tolerance``) — at half the MXU
+  passes of HIGHEST (measured 613.6 vs 769.8 ns/tile at (256,256)).
+  Mosaic does not implement ``Precision.HIGH`` (NotImplementedError,
+  probe10h), so this manual decomposition is the only 3-pass route.
+  Same DMA bytes as f32.
 * **bf16 operands**: one DEFAULT-precision dot, f32 accumulator.
 
 ``chunk_slabs`` is the companion per-iterate relayout: XLA lowers the
