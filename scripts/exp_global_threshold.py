@@ -18,11 +18,10 @@ import numpy as np
 
 from sparsematrixmultiplicationmpi_tpu.formats.reorder import rcm_ordering
 from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
-    GATHER_S_PER_ROW, TILE_OVERHEAD_S, TILE_STREAM_BW,
+    GATHER_S_PER_ROW, SPILL_RESTORE_S, TILE_OVERHEAD_S, TILE_STREAM_BW,
 )
 from sparsematrixmultiplicationmpi_tpu.io.generate import cop20k_like
 
-SPILL_RESTORE_S = 0.30e-3   # fixed bucketed-ELL assembly cost (measured)
 SPILL_SLOT_S = GATHER_S_PER_ROW
 K = 32
 

@@ -71,16 +71,21 @@ DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
 #: scripts/exp_kernel_probe10.py, probe13): XLA row gather ~4.8 ns/row
 #: regardless of width; raw elementwise streaming ~819 GB/s. The
 #: auto-pipelined Pallas kernel is MXU/overhead-bound, modeled per-pair
-#: as ~114 ns fixed (grid-step scalar work + dot issue) plus tile+slab
-#: bytes at an effective rate — ~590 GB/s for the production split-bf16
-#: 3-pass f32 kernel (613.6 ns at (256,256) f32; the retired 6-pass
-#: HIGHEST kernel fit ~455 GB/s) — ADDITIVE, so small tiles are
-#: overhead-bound and the cost model sizes tiles to balance coverage
-#: against the fixed cost.
+#: as a fixed step cost plus tile+slab bytes at an effective rate.
+#: Production split-bf16 3-pass f32 kernel, least squares over the
+#: probe13 shape sweep (320/444/614/1093 ns at (128,128)/(256,128)/
+#: (256,256)/(512,256)): ~190 ns fixed + ~615 GB/s marginal. (The
+#: retired 6-pass HIGHEST kernel fit 114 ns + 455 GB/s.) ADDITIVE, so
+#: small tiles are overhead-bound and the cost model sizes tiles to
+#: balance coverage against the fixed cost.
 HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
-TILE_OVERHEAD_S = 114e-9
-TILE_STREAM_BW = 590e9
+TILE_OVERHEAD_S = 190e-9
+TILE_STREAM_BW = 615e9
+#: Fixed cost of a nonzero spill: the bucketed-ELL restore take over m
+#: rows plus the full-size add (~0.42 ms measured at m=121k, k=32 —
+#: scripts/exp_kernel_probe13.py ``scat``).
+SPILL_RESTORE_S = 0.42e-3
 
 
 def _split_planes(tiles):
@@ -135,6 +140,7 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
     spill_nnz = int(counts[~dense].sum())
     est = (int(dense.sum()) * pair_cost
            + spill_nnz * GATHER_S_PER_ROW
+           + (SPILL_RESTORE_S if spill_nnz else 0.0)
            + m * k_nominal * 4 / HBM_BW)
     return est, threshold, dense, uniq, counts
 
