@@ -259,8 +259,12 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     nb = wp.n_blocks
     k = v_p.shape[1]
 
+    # Mosaic cannot lower bf16 dots with a sub-sublane k (observed: k=1
+    # fails verification with a bf16->f32 vector.broadcast on v5e); gate
+    # the 3-pass bf16 path to sublane-aligned fat vectors and keep the
+    # f32 HIGHEST kernel (which lowers for any k) for the rest.
     if (wp.tiles.dtype == jnp.float32 and wp.tiles_hi is not None
-            and wp.tiles_lo is not None):
+            and wp.tiles_lo is not None and k % 8 == 0):
         computed = windowed_matmul_split3(
             wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_hi),
             jnp.asarray(wp.tiles_lo), v_p, nb=nb, interpret=interpret,

@@ -104,11 +104,19 @@ def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
 def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
                        use_pallas: bool | None = None) -> jax.Array:
     """Padded-permuted-space SpMM, dispatching to the fused Pallas kernel
-    on accelerator backends (``use_pallas=None`` auto-selects)."""
+    on accelerator backends (``use_pallas=None`` auto-selects).
+
+    bf16 tiles with a sub-sublane fat vector (k % 8 != 0) stay on the
+    XLA path: Mosaic cannot lower those bf16 dots (verification failure
+    observed at k=1 on v5e); f32 tiles always have a lowerable kernel
+    (split3 for aligned k, HIGHEST otherwise)."""
     if use_pallas is None:
         try:
             use_pallas = jax.devices()[0].platform != "cpu"
         except Exception:
+            use_pallas = False
+        if (wp.tiles.dtype == jnp.bfloat16
+                and v_p.shape[1] % 8 != 0):
             use_pallas = False
     if use_pallas:
         from .pallas_windowed import spmm_windowed_pallas
