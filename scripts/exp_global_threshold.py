@@ -18,7 +18,8 @@ import numpy as np
 
 from sparsematrixmultiplicationmpi_tpu.formats.reorder import rcm_ordering
 from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
-    GATHER_S_PER_ROW, SPILL_RESTORE_S, TILE_OVERHEAD_S, TILE_STREAM_BW,
+    GATHER_S_PER_ROW, SPILL_RESTORE_S_PER_ROW, TILE_OVERHEAD_S,
+    TILE_STREAM_BW,
 )
 from sparsematrixmultiplicationmpi_tpu.io.generate import cop20k_like
 
@@ -51,7 +52,7 @@ for R, C in [(256, 256), (256, 128), (128, 128), (128, 256),
     t_axis = np.arange(len(cs) + 1)
     spill_nnz = spill_after[np.minimum(t_axis, len(cs))]
     total = (t_axis * pair_cost + spill_nnz * SPILL_SLOT_S
-             + (spill_nnz > 0) * SPILL_RESTORE_S)
+             + (spill_nnz > 0) * m * SPILL_RESTORE_S_PER_ROW)
     best_t = int(np.argmin(total))
     zs_t = len(cs)   # zero-spill endpoint
     gbytes = lambda t: t * R * C * 4 / 1e9

@@ -82,10 +82,11 @@ HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
 TILE_OVERHEAD_S = 190e-9
 TILE_STREAM_BW = 615e9
-#: Fixed cost of a nonzero spill: the bucketed-ELL restore take over m
-#: rows plus the full-size add (~0.42 ms measured at m=121k, k=32 —
-#: scripts/exp_kernel_probe13.py ``scat``).
-SPILL_RESTORE_S = 0.42e-3
+#: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
+#: over m rows plus the full-size add (419 us measured at m=121k, k=32 —
+#: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
+#: scatter-add alternative measured slower at 573 us).
+SPILL_RESTORE_S_PER_ROW = 3.5e-9
 
 
 def _split_planes(tiles):
@@ -140,7 +141,7 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
     spill_nnz = int(counts[~dense].sum())
     est = (int(dense.sum()) * pair_cost
            + spill_nnz * GATHER_S_PER_ROW
-           + (SPILL_RESTORE_S if spill_nnz else 0.0)
+           + (m * SPILL_RESTORE_S_PER_ROW if spill_nnz else 0.0)
            + m * k_nominal * 4 / HBM_BW)
     return est, threshold, dense, uniq, counts
 
