@@ -125,14 +125,15 @@ def spmm_any(operand: AutoFormat, v: jax.Array,
         return spmm_windowed(operand, v, use_pallas=use_pallas)
     if isinstance(operand, BandedBlocks):
         if use_pallas is None:
-            # Mosaic rejects the transposed-window scratch for fat-vector
-            # widths that are not sublane-aligned (observed: k=6/12 fail,
-            # k=1/32 compile); gate on k % 8 == 0.
-            use_pallas = (
-                _on_accelerator()
-                and operand.block_rows >= 256
-                and v.shape[1] % 8 == 0
-            )
+            # Measured on v5e (scripts/test_tpu_kernels.py, results/
+            # tpu_kernels.json): at block_rows=128 the fused Pallas band
+            # kernel edges out the XLA einsum (2.47/2.76/2.38 vs
+            # 2.72/2.90/2.41 ms at k=1/6/32; k=12 the one loss); at
+            # block_rows>=256 the XLA einsum pipelines better and wins
+            # 3 of 4 k values (0.53-1.06 vs 0.84-1.03 ms) — so Pallas
+            # engages only below 256 (the kernel pads k internally, all
+            # sweep k values compile).
+            use_pallas = _on_accelerator() and operand.block_rows <= 128
         if use_pallas:
             from .pallas_banded import spmm_banded_pallas
 
