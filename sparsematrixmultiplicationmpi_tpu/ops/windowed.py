@@ -106,17 +106,19 @@ def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
     """Padded-permuted-space SpMM, dispatching to the fused Pallas kernel
     on accelerator backends (``use_pallas=None`` auto-selects).
 
-    bf16 tiles with a sub-sublane fat vector (k % 8 != 0) stay on the
-    XLA path: Mosaic cannot lower those bf16 dots (verification failure
-    observed at k=1 on v5e); f32 tiles always have a lowerable kernel
-    (split3 for aligned k, HIGHEST otherwise)."""
+    Sub-sublane fat vectors (k % 8 != 0) stay on the XLA path for BOTH
+    dtypes: Mosaic cannot lower the bf16 dots there at all (verification
+    failure at k=1 on v5e), and the f32 HIGHEST kernel compiles but runs
+    slower than the XLA gather+einsum (3.41/4.13/3.17 vs 2.52/2.94/2.88
+    ms at k=1/6/12 on the cop20k stand-in — results/tpu_kernels.json);
+    only at aligned k does the fused kernel win (3.33 vs 3.66 ms at
+    k=32)."""
     if use_pallas is None:
         try:
             use_pallas = jax.devices()[0].platform != "cpu"
         except Exception:
             use_pallas = False
-        if (wp.tiles.dtype == jnp.bfloat16
-                and v_p.shape[1] % 8 != 0):
+        if v_p.shape[1] % 8 != 0:
             use_pallas = False
     if use_pallas:
         from .pallas_windowed import spmm_windowed_pallas
