@@ -39,7 +39,7 @@ v_host = generate_fat_vector(csr.shape[1], k, seed=0).astype(np.float32)
 oracle = spmm_host_f64(csr, v_host)
 o_norm = np.abs(oracle).max()
 
-shapes = [(None, None), (128, 256), (128, 128), (256, 256)]
+shapes = [(None, None), (256, 128), (512, 256), (256, 256)]
 for R, C in shapes:
     t0 = time.time()
     wp = WindowedPairs.from_csr(csr, block_rows=R, chunk_cols=C)
@@ -86,21 +86,38 @@ for R, C in shapes:
             print(f"  {name:12s}: FAILED {type(e).__name__}: {e}",
                   flush=True)
 
-    # kernel-only (dense tiles, no spill)
+    # kernel+trans only (production dispatch on a spill-free operand)
+    import dataclasses as _dc
+
+    wp_nospill = _dc.replace(wp_dev, spill=None)
     try:
-        tiles = jnp.asarray(wp_dev.tiles)
         t0 = time.time()
         tm, _ = measure_amortized(
-            lambda vp_, pb_, pc_, t_: windowed_matmul_pallas(
-                pb_, pc_, t_, vp_, nb=wp.n_blocks),
-            v_p, wp_dev.pair_block, wp_dev.pair_chunk, tiles,
-            inner=20, warmup=1, iters=3)
+            lambda vp_, wp_: spmm_windowed_core(wp_, vp_, use_pallas=True),
+            v_p, wp_nospill, inner=20, warmup=1, iters=3)
         per = tm.seconds_per_iter
         bw = wp.dense_bytes / per / 1e9
-        print(f"  kernel-only : {per*1e3:8.3f} ms = {bw:5.0f} GB/s "
+        print(f"  kernel+trans: {per*1e3:8.3f} ms = {bw:5.0f} GB/s "
               f"({per/wp.n_pairs*1e9:6.1f} ns/tile, wall "
               f"{time.time()-t0:.0f}s)", flush=True)
     except Exception as e:
-        print(f"  kernel-only : FAILED {type(e).__name__}: {e}", flush=True)
+        print(f"  kernel+trans: FAILED {type(e).__name__}: {e}", flush=True)
+
+    # spill-only (bucketed-ELL gather + restore, production spill object)
+    if wp.spill is not None:
+        from sparsematrixmultiplicationmpi_tpu.ops.ell import spmm_bucketed
+
+        try:
+            t0 = time.time()
+            n_cols = wp.shape[1]
+            tm, _ = measure_amortized(
+                lambda vp_, sp_: spmm_bucketed(sp_, vp_[:n_cols]),
+                v_p, wp_dev.spill, inner=20, warmup=1, iters=3)
+            per = tm.seconds_per_iter
+            print(f"  spill-only  : {per*1e3:8.3f} ms "
+                  f"(wall {time.time()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"  spill-only  : FAILED {type(e).__name__}: {e}",
+                  flush=True)
 
 print("done", flush=True)
