@@ -72,16 +72,17 @@ DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
 #: regardless of width; raw elementwise streaming ~819 GB/s. The
 #: auto-pipelined Pallas kernel is MXU/overhead-bound, modeled per-pair
 #: as a fixed step cost plus tile+slab bytes at an effective rate.
-#: Production split-bf16 3-pass f32 kernel, least squares over the
-#: probe13 shape sweep (320/444/614/1093 ns at (128,128)/(256,128)/
-#: (256,256)/(512,256)): ~190 ns fixed + ~615 GB/s marginal. (The
-#: retired 6-pass HIGHEST kernel fit 114 ns + 455 GB/s.) ADDITIVE, so
-#: small tiles are overhead-bound and the cost model sizes tiles to
-#: balance coverage against the fixed cost.
+#: Production lane-packed split-bf16 3-pass f32 kernel, fit over the
+#: probe14 shape sweep (580.5/926.2 ns at (256,256)/(512,256)):
+#: ~191 ns fixed + ~758 GB/s marginal. (Separate hi/lo streams fit
+#: 190 ns + 615 GB/s, probe13; the retired 6-pass HIGHEST kernel
+#: 114 ns + 455 GB/s, probe10.) ADDITIVE, so small tiles are
+#: overhead-bound and the cost model sizes tiles to balance coverage
+#: against the fixed cost.
 HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
-TILE_OVERHEAD_S = 190e-9
-TILE_STREAM_BW = 615e9
+TILE_OVERHEAD_S = 191e-9
+TILE_STREAM_BW = 758e9
 #: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
 #: over m rows plus the full-size add (419 us measured at m=121k, k=32 —
 #: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
@@ -90,23 +91,26 @@ SPILL_RESTORE_S_PER_ROW = 3.5e-9
 
 
 def _split_planes(tiles):
-    """bf16 (hi, lo) split planes of an f32 tile array, or (None, None)
-    for other dtypes. ``hi + lo`` reconstructs ``tiles`` to ~16-17
-    mantissa bits (~4e-6 relative: the f32 residual is exact, its bf16
-    storage rounds once more). Works on numpy or jax inputs, stays
+    """Lane-packed bf16 ``hi|lo`` split of an f32 tile array — (P, R, 2C)
+    with ``hi`` in columns [:C] and ``lo`` in [C:] — or None for other
+    dtypes. ``hi + lo`` reconstructs ``tiles`` to ~16-17 mantissa bits
+    (~4e-6 relative: the f32 residual is exact, its bf16 storage rounds
+    once more). Packing both planes in ONE array keeps the Pallas kernel
+    at two input streams — measured 5-15 % faster than separate hi/lo
+    streams (probe14 vs probe13). Works on numpy or jax inputs, stays
     host-side for numpy (format constructors keep arrays host-side per
     CLAUDE.md)."""
     if tiles.dtype != np.float32 and tiles.dtype != jnp.float32:
-        return None, None
+        return None
     if isinstance(tiles, np.ndarray):
         import ml_dtypes
 
         hi = tiles.astype(ml_dtypes.bfloat16)
         lo = (tiles - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        return hi, lo
+        return np.concatenate([hi, lo], axis=-1)
     hi = tiles.astype(jnp.bfloat16)
     lo = (tiles - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    return jnp.concatenate([hi, lo], axis=-1)
 
 
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
@@ -283,11 +287,10 @@ class WindowedPairs:
     pair_chunk: jax.Array           # (P,) int32
     pair_block: jax.Array           # (P,) int32, ascending
     block_ptr: jax.Array            # (nb + 1,) int32 pair run bounds
-    #: bf16 split planes of f32 tiles (``hi + lo`` ~ tiles to ~4e-6
-    #: relative): the 3-pass Pallas kernel's operands
+    #: Lane-packed bf16 hi|lo split of f32 tiles (``hi + lo`` ~ tiles to
+    #: ~4e-6 relative): the 3-pass Pallas kernel's tile operand
     #: (``ops/pallas_windowed.py``). None for non-f32 data.
-    tiles_hi: Optional[jax.Array]   # (P, R, C) bf16
-    tiles_lo: Optional[jax.Array]   # (P, R, C) bf16
+    tiles_split: Optional[jax.Array]  # (P, R, 2C) bf16
     spill: Optional[BucketedELL]
     perm: Optional[jax.Array]       # (m,) int32 or None
     inv_perm: Optional[jax.Array]   # (m,) int32 or None
@@ -331,10 +334,9 @@ class WindowedPairs:
 
     def astype(self, dtype) -> "WindowedPairs":
         tiles = self.tiles.astype(dtype)
-        hi, lo = _split_planes(tiles)
         return dataclasses.replace(
             self,
-            tiles=tiles, tiles_hi=hi, tiles_lo=lo,
+            tiles=tiles, tiles_split=_split_planes(tiles),
             spill=None if self.spill is None else self.spill.astype(dtype),
         )
 
@@ -471,10 +473,9 @@ class WindowedPairs:
             inv_perm = np.empty(m, dtype=np.int32)
             inv_perm[perm] = np.arange(m, dtype=np.int32)
             perm = perm.astype(np.int32)
-        tiles_hi, tiles_lo = _split_planes(tiles)
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
-            block_ptr=block_ptr, tiles_hi=tiles_hi, tiles_lo=tiles_lo,
+            block_ptr=block_ptr, tiles_split=_split_planes(tiles),
             spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
             est_seconds=float(est),

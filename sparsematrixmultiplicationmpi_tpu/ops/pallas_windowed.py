@@ -87,18 +87,24 @@ def _kernel_plain(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref,
         else jax.lax.Precision.DEFAULT)
 
 
-def _kernel_split3(pb_ref, pc_ref, first_ref, th_ref, tl_ref,
-                   sh_ref, sl_ref, out_ref):
+def _kernel_split3(pb_ref, pc_ref, first_ref, tile_ref, slab_ref,
+                   out_ref, *, C: int):
+    """Lane-packed split3: tile/slab blocks are (R, 2C)/(k, 2C) bf16
+    with hi in columns [:C] and lo in [C:] — one stream per operand
+    (measured 5-15 % faster than separate hi/lo streams, probe14)."""
     p = pl.program_id(0)
 
     @pl.when(first_ref[p] == 1)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
+    t = tile_ref[0]
+    s = slab_ref[0]
+    th, tl = t[:, :C], t[:, C:]
+    sh, sl = s[:, :C], s[:, C:]
     d = jax.lax.Precision.DEFAULT
-    out_ref[0] += (_dot_cc(th_ref[0], sh_ref[0], d)
-                   + _dot_cc(tl_ref[0], sh_ref[0], d)
-                   + _dot_cc(th_ref[0], sl_ref[0], d))
+    out_ref[0] += (_dot_cc(th, sh, d) + _dot_cc(tl, sh, d)
+                   + _dot_cc(th, sl, d))
 
 
 def _split_bf16(x32):
@@ -113,10 +119,11 @@ def chunk_slabs(v_pad: jax.Array, *, C: int, split: bool,
                 interpret: bool = False):
     """Per-iterate fat-vector relayout ``(pad, k) -> (chunks, k, C)``.
 
-    With ``split`` the result is the bf16 ``(hi, lo)`` pair for the
-    split3 kernel (exact decomposition); otherwise a single array in
-    ``v_pad``'s dtype. Uses a Pallas relayout kernel on TPU (XLA's
-    swapaxes runs at ~74 GB/s here); plain XLA elsewhere.
+    With ``split`` the result is ONE lane-packed bf16 ``hi|lo`` array
+    ``(chunks, k, 2C)`` for the split3 kernel; otherwise a single array
+    in ``v_pad``'s dtype. Uses a Pallas relayout kernel on TPU (XLA's
+    swapaxes runs at ~74 GB/s here; the fused kernel measured 130 us on
+    the cop20k stand-in — probe13 ``ptrans``); plain XLA elsewhere.
     """
     n_chunks = v_pad.shape[0] // C
     k = v_pad.shape[1]
@@ -125,22 +132,20 @@ def chunk_slabs(v_pad: jax.Array, *, C: int, split: bool,
     if interpret:
         t = jnp.swapaxes(vc, 1, 2)
         if split:
-            return _split_bf16(t)
+            hi, lo = _split_bf16(t)
+            return (jnp.concatenate([hi, lo], axis=2),)
         return (t,)
 
     if split:
-        def tkern(v_ref, hi_ref, lo_ref):
+        def tkern(v_ref, out_ref):
             t = jnp.swapaxes(v_ref[0], 0, 1)
             hi, lo = _split_bf16(t)
-            hi_ref[0] = hi
-            lo_ref[0] = lo
+            out_ref[0] = jnp.concatenate([hi, lo], axis=1)
 
         out_shape = [
-            jax.ShapeDtypeStruct((n_chunks, k, C), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_chunks, k, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n_chunks, k, 2 * C), jnp.bfloat16),
         ]
-        out_specs = [pl.BlockSpec((1, k, C), lambda c: (c, 0, 0)),
-                     pl.BlockSpec((1, k, C), lambda c: (c, 0, 0))]
+        out_specs = [pl.BlockSpec((1, k, 2 * C), lambda c: (c, 0, 0))]
     else:
         def tkern(v_ref, out_ref):
             out_ref[0] = jnp.swapaxes(v_ref[0], 0, 1)
@@ -202,14 +207,18 @@ def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def windowed_matmul_split3(pair_block: jax.Array, pair_chunk: jax.Array,
-                           tiles_hi: jax.Array, tiles_lo: jax.Array,
-                           v_pad: jax.Array, *,
+                           tiles_split: jax.Array, v_pad: jax.Array, *,
                            nb: int, interpret: bool = False) -> jax.Array:
-    """Raw fused contraction, split-bf16 3-pass f32 mode."""
-    P, R, C = tiles_hi.shape
+    """Raw fused contraction, lane-packed split-bf16 3-pass f32 mode.
+
+    ``tiles_split``: (P, R, 2C) bf16 hi|lo planes
+    (``formats/windowed.py::_split_planes``).
+    """
+    P, R, C2 = tiles_split.shape
+    C = C2 // 2
     k = v_pad.shape[1]
-    sh, sl = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
-                         interpret=interpret)
+    (slabs,) = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
+                           interpret=interpret)
     first = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
@@ -218,20 +227,20 @@ def windowed_matmul_split3(pair_block: jax.Array, pair_chunk: jax.Array,
         num_scalar_prefetch=3,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
-            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
-            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
-            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
+            pl.BlockSpec((1, R, 2 * C),
+                         lambda p, pb, pc, fr: (p, 0, 0)),
+            pl.BlockSpec((1, k, 2 * C),
+                         lambda p, pb, pc, fr: (pc[p], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, k),
                                lambda p, pb, pc, fr: (pb[p], 0, 0)),
     )
     return pl.pallas_call(
-        _kernel_split3,
+        functools.partial(_kernel_split3, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
         interpret=interpret,
-    )(pair_block, pair_chunk, first, tiles_hi, tiles_lo, sh, sl)
+    )(pair_block, pair_chunk, first, tiles_split, slabs)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
@@ -263,11 +272,11 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     # fails verification with a bf16->f32 vector.broadcast on v5e); gate
     # the 3-pass bf16 path to sublane-aligned fat vectors and keep the
     # f32 HIGHEST kernel (which lowers for any k) for the rest.
-    if (wp.tiles.dtype == jnp.float32 and wp.tiles_hi is not None
-            and wp.tiles_lo is not None and k % 8 == 0):
+    if (wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None
+            and k % 8 == 0):
         computed = windowed_matmul_split3(
-            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_hi),
-            jnp.asarray(wp.tiles_lo), v_p, nb=nb, interpret=interpret,
+            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_split),
+            v_p, nb=nb, interpret=interpret,
         )
     else:
         if v_p.dtype != wp.tiles.dtype:

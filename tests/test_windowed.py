@@ -178,8 +178,10 @@ def test_chunk_slabs_split_accuracy():
     rng = np.random.default_rng(111)
     v = jnp.asarray(rng.standard_normal((256, 8)) * 1e3,
                     dtype=jnp.float32)
-    hi, lo = chunk_slabs(v, C=128, split=True, interpret=True)
-    rec = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
+    (packed,) = chunk_slabs(v, C=128, split=True, interpret=True)
+    assert packed.shape == (2, 8, 256)  # hi|lo lane-packed
+    rec = (np.asarray(packed[:, :, :128], np.float32)
+           + np.asarray(packed[:, :, 128:], np.float32))
     ref = np.asarray(jnp.swapaxes(v.reshape(2, 128, 8), 1, 2))
     rel = np.max(np.abs(rec - ref) / (np.abs(ref) + 1e-30))
     assert rel < 1e-5, rel
@@ -200,7 +202,7 @@ def test_windowed_split3_accuracy_noninteger():
     vals = (rng.uniform(0.1, 10.0, csr.nnz) * np.pi).astype(np.float32)
     csr = dataclasses.replace(csr, values=jnp.asarray(vals))
     wp = WindowedPairs.from_csr(csr, **SMALL)
-    assert wp is not None and wp.tiles_hi is not None
+    assert wp is not None and wp.tiles_split is not None
     v = jnp.asarray(
         np.random.default_rng(133).uniform(-1, 1, (csr.shape[1], 8)),
         dtype=jnp.float32)
