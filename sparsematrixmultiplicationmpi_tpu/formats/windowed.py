@@ -131,22 +131,34 @@ def _pair_counts(i, j, R: int, C: int, n_chunks: int):
 
 def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
                            itemsize: int, k_nominal: int = 32):
-    """Estimated per-SpMM seconds for tile size (R, C) with the optimal
-    dense/spill threshold, plus the threshold and tile stats.
+    """Estimated per-SpMM seconds for tile size (R, C) with the GLOBAL
+    optimal dense/spill split, plus the count threshold and tile stats.
 
-    est = dense_pairs * pair_stream_cost + spill_nnz * gather_cost
-          + output write. Pure host-side numpy (build-time only).
+    Tiles are sorted by nnz count; the exact total-cost curve over "top
+    t tiles dense, rest spills" is minimized:
+
+        total(t) = t * pair_stream_cost + spill_nnz(t) * gather_cost
+                   + [spill_nnz(t) > 0] * m * restore_cost + output write
+
+    The fixed m-row spill-restore term means the optimum sometimes lands
+    at zero spill (every nonempty tile dense) — a per-tile marginal rule
+    can never choose that. Pure host-side numpy (build-time only).
     """
     n_chunks = -(-n // C)
     _, uniq, _, counts = _pair_counts(i, j, R, C, n_chunks)
     pair_cost = _pair_cost_s(R, C, itemsize, k_nominal)
-    threshold = pair_cost / GATHER_S_PER_ROW  # nnz above which dense wins
-    dense = counts > threshold
-    spill_nnz = int(counts[~dense].sum())
-    est = (int(dense.sum()) * pair_cost
-           + spill_nnz * GATHER_S_PER_ROW
-           + (m * SPILL_RESTORE_S_PER_ROW if spill_nnz else 0.0)
-           + m * k_nominal * 4 / HBM_BW)
+    order = np.argsort(-counts, kind="stable")
+    cs = counts[order]
+    spill_after = np.concatenate([cs[::-1].cumsum()[::-1], [0]])
+    t_axis = np.arange(len(cs) + 1)
+    totals = (t_axis * pair_cost
+              + spill_after * GATHER_S_PER_ROW
+              + (spill_after > 0) * m * SPILL_RESTORE_S_PER_ROW)
+    best_t = int(np.argmin(totals))
+    est = float(totals[best_t]) + m * k_nominal * 4 / HBM_BW
+    dense = np.zeros(len(counts), dtype=bool)
+    dense[order[:best_t]] = True
+    threshold = float(cs[best_t - 1]) if best_t else np.inf
     return est, threshold, dense, uniq, counts
 
 
@@ -163,9 +175,8 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
     distributed strategy (device-range splitting on top).
     """
     n_chunks = -(-n // C)
-    _, uniq, _, counts = _pair_counts(i, j, R, C, n_chunks)
-    pair_cost = _pair_cost_s(R, C, itemsize, k_nominal)
-    dense = counts > pair_cost / GATHER_S_PER_ROW
+    _, _, dense, uniq, counts = windowed_cost_estimate(
+        i, j, m, n, R, C, itemsize, k_nominal)
 
     key = (i // R).astype(np.int64) * n_chunks + (j // C).astype(np.int64)
     pair_of_entry = np.searchsorted(uniq, key)

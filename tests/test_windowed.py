@@ -113,13 +113,17 @@ def test_windowed_empty_blocks_get_dummy_coverage():
     dummy zero tile at build time (the auto-pipelined Pallas kernel only
     writes blocks it visits), and their entries come back through the
     spill path."""
-    m = 256
+    m = 2048
     rows = np.arange(0, 64)  # a dense cluster in block 0
     dense = np.zeros((m, m))
-    dense[np.ix_(rows, rows)] = np.random.default_rng(81).uniform(
-        1, 2, (64, 64))
-    dense[200, 10] = 5.0   # lone entry in a late block -> spill
-    dense[255, 255] = 7.0  # lone entry in the last block -> spill
+    rng = np.random.default_rng(81)
+    dense[np.ix_(rows, rows)] = rng.uniform(1, 2, (64, 64))
+    # Scattered singletons across many late blocks: absorbing each as a
+    # dense tile would cost ~a tile-stream each, so the global optimizer
+    # spills them — leaving those blocks empty (dummy-coverage path).
+    rr = rng.choice(np.arange(256, m), size=400, replace=False)
+    cc = rng.integers(0, m, size=400)
+    dense[rr, cc] = 5.0
     from sparsematrixmultiplicationmpi_tpu.formats.matrix import CSR
 
     csr = CSR.from_dense(dense)
