@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.windowed import WindowedPairs
-from .ell import spmm_bucketed
+from .ell import spmm_ell
 
 __all__ = ["spmm_windowed", "spmm_windowed_core", "spmm_windowed_xla"]
 
@@ -53,12 +53,25 @@ def _finish(wp: WindowedPairs, out_blocks: jax.Array,
         # 573 us vs 419 us for the full take+add (TPU scatters pay ~24
         # ns/row — scripts/exp_kernel_probe13.py ``scat``; consistent
         # with the round-1 "scatters cost ~2x gathers" finding).
-        sp = spmm_bucketed(wp.spill, v_p[:n]).astype(out.dtype)
+        #
+        # The gather table is v_p UNSLICED (spill column ids are < n, so
+        # the pad tail is never addressed — slicing would cost a 15 MB
+        # copy per iterate), and the restore take is extended over the
+        # pad tail (pointing at the all-zero row) so the result lands
+        # directly in padded space with no concat+add of a second
+        # full-size array.
+        bell = wp.spill
+        parts = [spmm_ell(b, v_p, unpad=False) for b in bell.buckets]
+        parts.append(jnp.zeros((1, k), parts[0].dtype))
+        stacked = jnp.concatenate(parts, axis=0)
+        idx = bell.inv_row_perm
         tail = out.shape[0] - m
         if tail > 0:
-            sp = jnp.concatenate(
-                [sp, jnp.zeros((tail, k), out.dtype)], axis=0)
-        out = out + sp
+            idx = jnp.concatenate([
+                idx,
+                jnp.full((tail,), stacked.shape[0] - 1, idx.dtype),
+            ])
+        out = out + jnp.take(stacked, idx, axis=0).astype(out.dtype)
     return out
 
 
