@@ -46,4 +46,8 @@ records += sweep(
 write_json("results/tpu_v5e_sweep.json", records,
            hardware="TPU v5e (1 chip)", note="amortized steady-state timing")
 paths = render_all(records, "results/figures")
-print(f"{len(records)} records, {len(paths)} figures", flush=True)
+from sparsematrixmultiplicationmpi_tpu.bench.report import render_report
+render_report(records, "results/REPORT.md",
+              title="TPU v5e results — matrix x k x strategy sweep")
+print(f"{len(records)} records, {len(paths)} figures + REPORT.md",
+      flush=True)
