@@ -24,7 +24,7 @@ n, f, h, c = 100_000, 64, 128, 16
 adj, x, labels, mask = synthetic_node_classification(n, f, c, avg_degree=16, seed=1)
 operand = jax.device_put(
     jax.tree.map(lambda a: a.astype(np.float32) if a.dtype.kind == "f" else a,
-                 auto_format(normalize_adjacency(adj))), jax.devices()[0])
+                 auto_format(normalize_adjacency(adj), k_nominal=128)), jax.devices()[0])
 print("gcn operand:", type(operand).__name__, flush=True)
 spmm = make_symmetric_spmm(operand)
 params = init_gcn(jax.random.PRNGKey(0), f, h, c)
@@ -81,7 +81,7 @@ print(results["cg_solve_121k"], flush=True)
 g = cop20k_like(seed=4)
 g = dataclasses.replace(g, values=np.abs(np.asarray(g.values)))
 norm = _normalize_columns(g).astype(jnp.float32)
-op3 = jax.device_put(auto_format(norm), jax.devices()[0])
+op3 = jax.device_put(auto_format(norm, k_nominal=1), jax.devices()[0])
 spmm3 = lambda v: spmm_any(op3, v)
 @jax.jit
 def pr(op):

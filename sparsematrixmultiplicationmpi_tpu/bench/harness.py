@@ -291,7 +291,12 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                 for p in device_counts:
                     mesh = make_mesh(p)
                     for sname in strategy_names:
-                        strategy = get_strategy(sname)
+                        # Auto's cost model is k-aware (the COO path's
+                        # product materialization scales with k); give it
+                        # the job's actual fat-vector width.
+                        strategy = (get_strategy(sname, k_nominal=k)
+                                    if sname == "auto"
+                                    else get_strategy(sname))
                         if (mat_name, k, strategy.name, p) in done:
                             continue
                         try:

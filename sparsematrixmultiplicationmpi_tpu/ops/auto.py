@@ -48,22 +48,29 @@ def gather_class_estimates(csr: CSR, k_nominal: int = 32):
     """Estimated per-SpMM seconds for the two gather-path formats.
 
     * BucketedELL: one gather row per PADDED slot plus the final
-      inverse-permutation take over m rows.
+      inverse-permutation take over m rows; the gathered table rows
+      (slots x k floats) stream once (the multiply-reduce fuses).
     * COO + sorted segment-sum: one gather row per nnz plus the segment
-      reduction over m output rows.
+      reduction over m output rows — AND the (nnz, k) product array XLA
+      materializes between the gather and the segment-sum (write + read
+      back: 2 extra passes over nnz*k floats). At k=1 that term is
+      noise and COO wins on padding-free exact-nnz work (the round-1
+      powerlaw result); at GCN-scale k (>=64) it dominates and bucketed
+      ELL wins (COO measured 2.7x slower at k=128 before this term was
+      added — scripts/run_models_bench.py round-2).
 
-    Both are per-row-overhead-bound on TPU (~5 ns/row regardless of
-    width, CLAUDE.md measured facts); the choice is padded-slots + take
-    versus exact-nnz + segsum — on skewed (power-law) matrices the COO
-    path wins (VERDICT round-1: auto lost 45 % to the nnz path there).
+    Per-row constants are the measured v5e gather/segsum overheads
+    (CLAUDE.md measured facts).
     """
     bell = BucketedELL.from_csr(csr)
     padded_rows = sum(b.m_padded * b.width for b in bell.buckets)
     m = csr.shape[0]
-    out_bytes = m * k_nominal * 4 / HBM_BW
-    est_bell = (padded_rows + m) * GATHER_S_PER_ROW + out_bytes
+    row_bytes = k_nominal * 4
+    out_bytes = m * row_bytes / HBM_BW
+    est_bell = ((padded_rows + m) * GATHER_S_PER_ROW
+                + padded_rows * row_bytes / HBM_BW + out_bytes)
     est_coo = (csr.nnz * GATHER_S_PER_ROW + m * SEGSUM_S_PER_ROW
-               + out_bytes)
+               + 3 * csr.nnz * row_bytes / HBM_BW + out_bytes)
     return {"bucketed_ell": (est_bell, bell),
             "coo": (est_coo, None)}
 
@@ -85,7 +92,8 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
         sig = inspect.signature(fn).parameters
         return {k: v for k, v in format_kwargs.items() if k in sig}
 
-    ests = gather_class_estimates(csr)
+    ests = gather_class_estimates(
+        csr, k_nominal=format_kwargs.get("k_nominal", 32))
     best_gather = min(ests.values(), key=lambda t: t[0])[0]
 
     wp = WindowedPairs.from_csr(

@@ -1,47 +1,51 @@
 """Fused Pallas TPU kernels for windowed tile-pair SpMM.
 
-Idiomatic block-sparse matmul: the grid walks the flat pair list (one
-dense (R, C) tile per step); BlockSpec index_maps read the prefetched
-scalar arrays to fetch each pair's tile (``p``), its fat-vector slab
-(``pair_chunk[p]``, from the chunk-transposed ``(n_chunks, k, C)`` view)
-and its output block (``pair_block[p]``). Pairs are block-sorted, so the
-output index is non-decreasing: Mosaic keeps the accumulator block in
-VMEM across the pair run and writes it back when the block index changes
-(the standard revisited-reduction pattern). The kernel body zeroes the
-accumulator on each block's first pair and adds one MXU contraction.
+Idiomatic block-sparse matmul: the grid walks the flat pair list TWO
+pairs per step (every block's pair run is padded to even length at build
+time, so a step never spans blocks); BlockSpec index_maps read the
+prefetched scalar arrays to fetch the step's tile window (one leading-dim
+DMA of two tiles), the two pairs' fat-vector slabs (from the
+chunk-transposed ``(n_chunks, k, C)`` view) and the output block
+(``pair_block``). Pairs are block-sorted, so the output index is
+non-decreasing: Mosaic keeps the accumulator block in VMEM across the
+block's steps and writes it back when the block index changes (the
+standard revisited-reduction pattern).
 
-Mosaic's automatic pipeliner double-buffers all three streams, beating
-every hand-rolled DMA-chain variant (probe6-9: 220-460 GB/s) with a
-fraction of the code. Measured per-tile cost decomposes as ~114 ns fixed
-grid-step overhead plus MXU passes — the kernel is MXU-bound, NOT
-DMA-bound, because the k=32 output occupies only a quarter of the 128
-MXU lanes and f32 HIGHEST costs 6 bf16 passes
-(scripts/exp_kernel_probe10.py, probe13).
+Mosaic's automatic pipeliner double-buffers all streams, beating every
+hand-rolled DMA-chain variant (probe6-9: 220-460 GB/s) with a fraction
+of the code. Measured per-tile cost decomposes as a fixed per-grid-step
+overhead (~191 ns) plus stream bytes — the kernel is step-overhead and
+MXU-bound, NOT DMA-bound, because the k=32 output occupies only a
+quarter of the 128 MXU lanes and f32 HIGHEST costs 6 bf16 passes
+(probe10/13/14). Two-pairs-per-step amortizes the fixed cost: measured
+455 ns/real-tile at (256,256) f32 vs 580 one-pair (probe15), ~819 GB/s
+marginal.
 
-Two precision modes attack that:
+Precision modes:
 
-* **split3** (f32 operands): tiles are pre-split at build time into bf16
-  ``hi`` (round-to-nearest) and ``lo`` (the f32 residual, re-rounded to
-  bf16 — ``hi + lo`` carries ~16-17 mantissa bits, ~4e-6 relative); the
-  fat-vector slabs are split the same way by the fused relayout kernel.
-  Three DEFAULT-precision dots ``th@sh + tl@sh + th@sl`` measure ~1e-4
-  relative end-to-end (probe13) — inside the documented f32 tier of 5e-3
-  relative (``utils/compare.py::default_tolerance``) — at half the MXU
-  passes of HIGHEST (measured 613.6 vs 769.8 ns/tile at (256,256)).
-  Mosaic does not implement ``Precision.HIGH`` (NotImplementedError,
-  probe10h), so this manual decomposition is the only 3-pass route.
-  Same DMA bytes as f32.
-* **bf16 operands**: one DEFAULT-precision dot, f32 accumulator.
+* **split3** (f32 operands): tiles are pre-split at build time into
+  lane-packed bf16 ``hi|lo`` planes (``hi`` = round-to-nearest, ``lo`` =
+  the f32 residual re-rounded to bf16; ``hi + lo`` carries ~16-17
+  mantissa bits, ~4e-6 relative); the fat-vector slabs are split the
+  same way by the fused relayout kernel (``chunk_slabs``). Three
+  DEFAULT-precision dots ``th@sh + tl@sh + th@sl`` measure ~1e-3
+  worst-case relative end-to-end on non-integer FEM values — inside the
+  documented f32 tier of 5e-3 relative
+  (``utils/compare.py::default_tolerance``) — at half the MXU passes of
+  HIGHEST. Mosaic does not implement ``Precision.HIGH``
+  (NotImplementedError, probe10h), so this manual decomposition is the
+  only 3-pass route. Same DMA bytes as f32.
+* **bf16 operands**: one DEFAULT-precision dot per pair, f32
+  accumulator.
 
-``chunk_slabs`` is the companion per-iterate relayout: XLA lowers the
-``(pad, k) -> (chunks, k, C)`` chunk transpose at ~74 GB/s (~0.4 ms on
-the cop20k stand-in); the Pallas version streams it at HBM-class rates
-and fuses the bf16 hi/lo split for free.
+Both engage only for sublane-aligned fat vectors (k % 8 == 0): Mosaic
+cannot lower the bf16 dots otherwise (verification failure at k=1 on
+v5e), and at unaligned k the XLA gather+einsum path is faster anyway
+(``ops/windowed.py::spmm_windowed_core`` routes accordingly).
 
 Every output block must be visited or its contents are garbage:
-``WindowedPairs.from_csr`` guarantees coverage by inserting one dummy
-zero tile into each otherwise-empty row block (rare on the matrices this
-format wins on).
+``WindowedPairs.from_csr`` guarantees coverage by inserting dummy zero
+tiles into otherwise-empty row blocks.
 
 Replaces the reference row-wise hot loop
 (``SparseMatrixFatVectorMultiplyRowWise.cpp:36-50``) at MXU tile
@@ -60,7 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.windowed import WindowedPairs
 
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas",
-           "chunk_slabs"]
+           "windowed_matmul_split3", "chunk_slabs"]
 
 
 def _dot_cc(a, b, precision):
@@ -73,38 +77,39 @@ def _dot_cc(a, b, precision):
     )
 
 
-def _kernel_plain(pb_ref, pc_ref, first_ref, tile_ref, slab_ref, out_ref,
-                  *, f32_highest: bool):
-    p = pl.program_id(0)
+def _kernel_plain(pb_ref, pce_ref, pco_ref, first_ref, tile_ref,
+                  slab0_ref, slab1_ref, out_ref, *, f32_highest: bool):
+    s = pl.program_id(0)
 
-    @pl.when(first_ref[p] == 1)
+    @pl.when(first_ref[s] == 1)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    out_ref[0] += _dot_cc(
-        tile_ref[0], slab_ref[0],
-        jax.lax.Precision.HIGHEST if f32_highest
-        else jax.lax.Precision.DEFAULT)
+    prec = (jax.lax.Precision.HIGHEST if f32_highest
+            else jax.lax.Precision.DEFAULT)
+    out_ref[0] += (_dot_cc(tile_ref[0], slab0_ref[0], prec)
+                   + _dot_cc(tile_ref[1], slab1_ref[0], prec))
 
 
-def _kernel_split3(pb_ref, pc_ref, first_ref, tile_ref, slab_ref,
-                   out_ref, *, C: int):
-    """Lane-packed split3: tile/slab blocks are (R, 2C)/(k, 2C) bf16
-    with hi in columns [:C] and lo in [C:] — one stream per operand
-    (measured 5-15 % faster than separate hi/lo streams, probe14)."""
-    p = pl.program_id(0)
+def _kernel_split3(pb_ref, pce_ref, pco_ref, first_ref, tile_ref,
+                   slab0_ref, slab1_ref, out_ref, *, C: int):
+    """Lane-packed split3, two pairs per step: tile window (2, R, 2C)
+    bf16 with hi in columns [:C] and lo in [C:]; slabs (k, 2C) each."""
+    s = pl.program_id(0)
 
-    @pl.when(first_ref[p] == 1)
+    @pl.when(first_ref[s] == 1)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    t = tile_ref[0]
-    s = slab_ref[0]
-    th, tl = t[:, :C], t[:, C:]
-    sh, sl = s[:, :C], s[:, C:]
     d = jax.lax.Precision.DEFAULT
-    out_ref[0] += (_dot_cc(th, sh, d) + _dot_cc(tl, sh, d)
-                   + _dot_cc(th, sl, d))
+    acc = jnp.zeros_like(out_ref[0])
+    for u, sref in ((0, slab0_ref), (1, slab1_ref)):
+        t = tile_ref[u]
+        sl = sref[0]
+        acc += (_dot_cc(t[:, :C], sl[:, :C], d)
+                + _dot_cc(t[:, C:], sl[:, :C], d)
+                + _dot_cc(t[:, :C], sl[:, C:], d))
+    out_ref[0] += acc
 
 
 def _split_bf16(x32):
@@ -163,13 +168,24 @@ def chunk_slabs(v_pad: jax.Array, *, C: int, split: bool,
     return tuple(out) if isinstance(out, (list, tuple)) else (out,)
 
 
+def _step_scalars(pair_block, pair_chunk):
+    """Per-step prefetch scalars for the two-pairs-per-step grid."""
+    pb2 = pair_block[0::2]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (pb2[1:] != pb2[:-1]).astype(jnp.int32),
+    ])
+    return pb2, pair_chunk[0::2], pair_chunk[1::2], first
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
                            tiles: jax.Array, v_pad: jax.Array, *,
                            nb: int, interpret: bool = False) -> jax.Array:
     """Raw fused contraction, single-array-tiles mode: ``(nb, R, k)``.
 
-    ``tiles``: (P, R, C) block-sorted; ``pair_block``: (P,) ascending
+    ``tiles``: (P, R, C) block-sorted with EVEN per-block runs
+    (``WindowedPairs.from_csr`` pads); ``pair_block``: (P,) ascending
     block ids covering every block in [0, nb); ``v_pad``: (pad_rows, k)
     natural-layout fat vector with pad_rows >= n_chunks*C. f32 tiles use
     HIGHEST (6-pass); prefer the split3 path via ``spmm_windowed_pallas``
@@ -181,19 +197,21 @@ def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
         v_pad = v_pad.astype(tiles.dtype)
     (v_chunks,) = chunk_slabs(v_pad, C=C, split=False,
                               interpret=interpret)
-    first = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
-    ])
+    pb2, pce, pco, first = _step_scalars(pair_block, pair_chunk)
+    S = P // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # pair_block, pair_chunk, first
-        grid=(P,),
+        num_scalar_prefetch=4,  # pb2, pc_even, pc_odd, first
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R, C), lambda p, pb, pc, fr: (p, 0, 0)),
-            pl.BlockSpec((1, k, C), lambda p, pb, pc, fr: (pc[p], 0, 0)),
+            pl.BlockSpec((2, R, C),
+                         lambda s, pb, pce, pco, fr: (s, 0, 0)),
+            pl.BlockSpec((1, k, C),
+                         lambda s, pb, pce, pco, fr: (pce[s], 0, 0)),
+            pl.BlockSpec((1, k, C),
+                         lambda s, pb, pce, pco, fr: (pco[s], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, k),
-                               lambda p, pb, pc, fr: (pb[p], 0, 0)),
+                               lambda s, pb, pce, pco, fr: (pb[s], 0, 0)),
     )
     kernel = functools.partial(
         _kernel_plain, f32_highest=tiles.dtype == jnp.float32)
@@ -202,7 +220,7 @@ def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
         interpret=interpret,
-    )(pair_block, pair_chunk, first, tiles, v_chunks)
+    )(pb2, pce, pco, first, tiles, v_chunks, v_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
@@ -212,35 +230,35 @@ def windowed_matmul_split3(pair_block: jax.Array, pair_chunk: jax.Array,
     """Raw fused contraction, lane-packed split-bf16 3-pass f32 mode.
 
     ``tiles_split``: (P, R, 2C) bf16 hi|lo planes
-    (``formats/windowed.py::_split_planes``).
+    (``formats/windowed.py::_split_planes``), even per-block runs.
     """
     P, R, C2 = tiles_split.shape
     C = C2 // 2
     k = v_pad.shape[1]
     (slabs,) = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
                            interpret=interpret)
-    first = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (pair_block[1:] != pair_block[:-1]).astype(jnp.int32),
-    ])
+    pb2, pce, pco, first = _step_scalars(pair_block, pair_chunk)
+    S = P // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(P,),
+        num_scalar_prefetch=4,
+        grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R, 2 * C),
-                         lambda p, pb, pc, fr: (p, 0, 0)),
+            pl.BlockSpec((2, R, 2 * C),
+                         lambda s, pb, pce, pco, fr: (s, 0, 0)),
             pl.BlockSpec((1, k, 2 * C),
-                         lambda p, pb, pc, fr: (pc[p], 0, 0)),
+                         lambda s, pb, pce, pco, fr: (pce[s], 0, 0)),
+            pl.BlockSpec((1, k, 2 * C),
+                         lambda s, pb, pce, pco, fr: (pco[s], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, k),
-                               lambda p, pb, pc, fr: (pb[p], 0, 0)),
+                               lambda s, pb, pce, pco, fr: (pb[s], 0, 0)),
     )
     return pl.pallas_call(
         functools.partial(_kernel_split3, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
         interpret=interpret,
-    )(pair_block, pair_chunk, first, tiles_split, slabs)
+    )(pb2, pce, pco, first, tiles_split, slabs, slabs)
 
 
 def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
@@ -251,11 +269,10 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     interpreter mode on CPU backends.
 
     f32 operands dispatch to the split3 3-pass kernel when the format
-    carries pre-split tile planes (``WindowedPairs.from_csr`` builds them
-    for f32 data); bf16 operands use the single-pass DEFAULT dot. Mixed
-    tiles/vector dtypes are aligned to the tiles' dtype first — Mosaic's
-    mixed-precision dot (bf16 x f32) was observed numerically wrong on
-    v5e (rel err ~0.7).
+    carries pre-split tile planes and k is sublane-aligned; bf16
+    operands use the single-pass DEFAULT dot. Mixed tiles/vector dtypes
+    are aligned to the tiles' dtype first — Mosaic's mixed-precision dot
+    (bf16 x f32) was observed numerically wrong on v5e (rel err ~0.7).
     """
     from .windowed import _finish
 
