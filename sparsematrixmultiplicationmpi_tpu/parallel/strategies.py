@@ -420,12 +420,15 @@ class Auto(Strategy):
     """Structure- and mesh-adaptive path — the framework's "just make it
     fast" strategy (the path ``bench.py`` reports).
 
-    Single device: band-dense MXU storage for matrices with diagonal
-    locality, bucketed ELL otherwise (``ops/auto.py``). Multi-device mesh:
-    the halo-exchange row-sharded band strategy for square matrices with
-    band structure, the hybrid row-wise strategy otherwise. Dispatch is on
-    the *prepared operand's* type, so prepare-once/multiply-many works
-    across all cases."""
+    Single device: windowed MXU tiles where clustering supports them,
+    else the cheaper of bucketed ELL and COO+segment-sum by the k-aware
+    gather-class estimate (``ops/auto.py``; pass ``k_nominal=<fat-vector
+    width>`` — the sweep harness does). Multi-device mesh: the
+    halo-exchange row-sharded band strategy for square matrices with
+    band structure, the row-sharded windowed strategy where tiles win,
+    the hybrid row-wise strategy otherwise. Dispatch is on the *prepared
+    operand's* type, so prepare-once/multiply-many works across all
+    cases."""
 
     name = "auto"
 
