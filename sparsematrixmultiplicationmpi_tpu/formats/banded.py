@@ -60,6 +60,9 @@ class BandedBlocks:
     spill: Optional[BucketedELL]
     shape: Tuple[int, int] = _static_field()
     block_rows: int = _static_field()
+    #: Cost-model per-SpMM estimate (same metric as
+    #: ``WindowedPairs.est_seconds`` — ``auto_format`` compares them).
+    est_seconds: float = _static_field(default=float("inf"))
 
     @property
     def dtype(self):
@@ -85,7 +88,8 @@ class BandedBlocks:
                  candidates=(128, 256, 512), min_coverage: float = 0.5,
                  max_inflation: float = 64.0,
                  hbm_bw: float = 819e9,
-                 gather_ns_per_row: float = 4.8) -> Optional["BandedBlocks"]:
+                 gather_ns_per_row: float = 4.8,
+                 k_nominal: int = 32) -> Optional["BandedBlocks"]:
         """Build band-dense storage, choosing ``block_rows`` by a measured
         TPU cost model: estimated time = dense-band streaming traffic at HBM
         bandwidth + spilled rows at the measured XLA per-row gather cost
@@ -145,7 +149,21 @@ class BandedBlocks:
             spill = BucketedELL.from_csr(
                 spill_coo.to_csr(), width_align=4, max_buckets=12
             )
-        return cls(band=band, spill=spill, shape=(m, n), block_rows=r)
+        # Comparable-to-WindowedPairs per-SpMM estimate (k-aware): band
+        # bytes + three shifted fat-vector views + output at HBM rate,
+        # spilled nnz at the measured gather cost, plus the fixed m-row
+        # spill-restore take when any spill exists.
+        from .windowed import (
+            GATHER_S_PER_ROW, HBM_BW, SPILL_RESTORE_S_PER_ROW,
+        )
+
+        row_bytes = k_nominal * 4
+        est = (band.nbytes / HBM_BW
+               + 4 * m * row_bytes / HBM_BW
+               + n_out * GATHER_S_PER_ROW
+               + (m * SPILL_RESTORE_S_PER_ROW if n_out else 0.0))
+        return cls(band=band, spill=spill, shape=(m, n), block_rows=r,
+                   est_seconds=float(est))
 
     def __matmul__(self, v):
         from ..ops.banded import spmm_banded

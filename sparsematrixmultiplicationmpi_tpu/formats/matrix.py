@@ -39,8 +39,8 @@ import numpy as np
 __all__ = ["CSR", "COO", "ELL", "BucketedELL"]
 
 
-def _static_field():
-    return dataclasses.field(metadata={"static": True})
+def _static_field(**kwargs):
+    return dataclasses.field(metadata={"static": True}, **kwargs)
 
 
 def _host_array(x, dtype=None):

@@ -96,14 +96,20 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
         csr, k_nominal=format_kwargs.get("k_nominal", 32))
     best_gather = min(ests.values(), key=lambda t: t[0])[0]
 
+    # Dense-tile candidates, both carrying the same est_seconds metric:
+    # the general windowed tiles and the 3-block band specialization
+    # (strictly cheaper per byte when the band alone covers the matrix —
+    # round-2: auto picking windowed over banded on a pure-band SPD
+    # system measured 1.5x slower CG iterations).
     wp = WindowedPairs.from_csr(
         csr, reorder=reorder, **_route(WindowedPairs.from_csr)
     )
-    if wp is not None and wp.est_seconds < best_gather:
-        return wp
     bb = BandedBlocks.from_csr(csr, **_route(BandedBlocks.from_csr))
-    if bb is not None:
-        return bb
+    dense_candidates = [f for f in (wp, bb) if f is not None]
+    if dense_candidates:
+        best_dense = min(dense_candidates, key=lambda f: f.est_seconds)
+        if best_dense.est_seconds < best_gather:
+            return best_dense
     name = min(ests, key=lambda nm: ests[nm][0])
     if name == "coo":
         return csr.to_coo()

@@ -285,12 +285,18 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     nb = wp.n_blocks
     k = v_p.shape[1]
 
-    # Mosaic cannot lower bf16 dots with a sub-sublane k (observed: k=1
-    # fails verification with a bf16->f32 vector.broadcast on v5e); gate
-    # the 3-pass bf16 path to sublane-aligned fat vectors and keep the
-    # f32 HIGHEST kernel (which lowers for any k) for the rest.
-    if (wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None
-            and k % 8 == 0):
+    # Mosaic cannot lower the pair dots with a sub-sublane k: bf16 fails
+    # verification at k=1 (bf16->f32 vector.broadcast), and the f32
+    # matvec reduction in the two-pair kernel fails with "only constant
+    # accumulators supported". Unaligned k routes to the XLA path — the
+    # measured-faster choice there anyway (results/tpu_kernels.json:
+    # 2.5-3.0 ms XLA vs 3.1-4.9 ms for the old one-pair kernels at
+    # k=1/6/12 on the cop20k stand-in).
+    if k % 8 != 0:
+        from .windowed import spmm_windowed_xla
+
+        return spmm_windowed_xla(wp, v_p)
+    if wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None:
         computed = windowed_matmul_split3(
             wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_split),
             v_p, nb=nb, interpret=interpret,
