@@ -38,39 +38,40 @@ __all__ = ["auto_format", "spmm_any", "spmm", "gather_class_estimates"]
 
 AutoFormat = Union[WindowedPairs, BandedBlocks, BucketedELL, COO]
 
-#: Measured on v5e (scripts/exp_gather_calib.py): sorted segment-sum costs
-#: ~this much per output row on top of the per-nnz gather (scan-structured
-#: reduction over the row axis).
-SEGSUM_S_PER_ROW = 5e-9
+#: Measured on v5e (scripts/exp_gather_calib2.py, powerlaw + GCN graphs,
+#: k in {1,8,32,128}): the COO gather+sorted-segment-sum path costs a
+#: nearly k-flat ~11.5 ns per NONZERO (10.7-11.9 measured), while the
+#: bucketed-ELL fused gather+reduce costs ~2.5-3.6 ns per padded SLOT.
+#: The class choice is therefore dominated by the ELL slot inflation
+#: (6.4x on powerlaw -> COO wins; 1.5x on a mild-skew GCN graph -> ELL
+#: wins by 2.3x).
+COO_S_PER_NNZ = 11.5e-9
+ELL_S_PER_SLOT = 2.5e-9
 
 
 def gather_class_estimates(csr: CSR, k_nominal: int = 32):
     """Estimated per-SpMM seconds for the two gather-path formats.
 
-    * BucketedELL: one gather row per PADDED slot plus the final
-      inverse-permutation take over m rows; the gathered table rows
-      (slots x k floats) stream once (the multiply-reduce fuses).
-    * COO + sorted segment-sum: one gather row per nnz plus the segment
-      reduction over m output rows — AND the (nnz, k) product array XLA
-      materializes between the gather and the segment-sum (write + read
-      back: 2 extra passes over nnz*k floats). At k=1 that term is
-      noise and COO wins on padding-free exact-nnz work (the round-1
-      powerlaw result); at GCN-scale k (>=64) it dominates and bucketed
-      ELL wins (COO measured 2.7x slower at k=128 before this term was
-      added — scripts/run_models_bench.py round-2).
+    * BucketedELL: ~2.5 ns per PADDED slot (fused gather+reduce) plus
+      slot and restore bytes at HBM rate.
+    * COO + sorted segment-sum: ~11.5 ns per NONZERO (k-flat, measured
+      up to k=128) plus the (nnz, k) product array XLA materializes
+      between the gather and the segment-sum.
 
-    Per-row constants are the measured v5e gather/segsum overheads
-    (CLAUDE.md measured facts).
+    Measured on v5e (scripts/exp_gather_calib2.py): the choice is
+    dominated by the ELL slot inflation — COO wins on heavy skew
+    (powerlaw: 6.4x inflation, 9.5 vs 13.2 ms at k=32), bucketed ELL on
+    mild skew (GCN graph: 1.5x inflation, 2.8 vs 6.4 ms at k=128).
     """
     bell = BucketedELL.from_csr(csr)
     padded_rows = sum(b.m_padded * b.width for b in bell.buckets)
     m = csr.shape[0]
     row_bytes = k_nominal * 4
     out_bytes = m * row_bytes / HBM_BW
-    est_bell = ((padded_rows + m) * GATHER_S_PER_ROW
-                + padded_rows * row_bytes / HBM_BW + out_bytes)
-    est_coo = (csr.nnz * GATHER_S_PER_ROW + m * SEGSUM_S_PER_ROW
-               + 3 * csr.nnz * row_bytes / HBM_BW + out_bytes)
+    est_bell = (padded_rows * ELL_S_PER_SLOT
+                + (padded_rows + m) * row_bytes / HBM_BW + out_bytes)
+    est_coo = (csr.nnz * COO_S_PER_NNZ
+               + 2 * csr.nnz * row_bytes / HBM_BW + out_bytes)
     return {"bucketed_ell": (est_bell, bell),
             "coo": (est_coo, None)}
 
