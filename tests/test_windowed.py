@@ -219,3 +219,26 @@ def test_windowed_split3_accuracy_noninteger():
     # symmetric v, so normalize by the output's overall scale.
     rel = np.max(np.abs(out - oracle)) / np.abs(oracle).max()
     assert rel < 1e-3, rel
+
+
+def test_step_scalars_even_runs():
+    """The two-pairs-per-step kernel's prefetch scalars: every block's
+    run is even (builder contract) and `first` marks exactly the first
+    step of each block's run."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        _step_scalars,
+    )
+
+    csr = fem3d_csr(2000, 40000, seed=141)
+    wp = WindowedPairs.from_csr(csr, **SMALL)
+    pb = np.asarray(wp.pair_block)
+    counts = np.bincount(pb, minlength=wp.n_blocks)
+    assert (counts % 2 == 0).all() and (counts >= 2).all()
+    pb2, pce, pco, first = (np.asarray(x) for x in
+                            _step_scalars(wp.pair_block, wp.pair_chunk))
+    assert len(pb2) == len(pb) // 2
+    # pairs 2s and 2s+1 always share a block
+    assert (pb[0::2] == pb[1::2]).all()
+    expect_first = np.concatenate([[1], (pb2[1:] != pb2[:-1])]).astype(int)
+    np.testing.assert_array_equal(first, expect_first)
+    assert first.sum() == wp.n_blocks
