@@ -31,6 +31,7 @@ records = sweep(
     checkpoint_csv="results/tpu_v5e_sweep.csv",
     resume_from="results/tpu_v5e_sweep.csv",
     progress=progress,
+    job_timeout=600.0,
 )
 # bf16 tier (VERDICT round-1 #9): the Auto strategy under the comparator's
 # documented bf16 tolerance, suffixed names so resume keys stay unique.
@@ -42,6 +43,7 @@ records += sweep(
     checkpoint_csv="results/tpu_v5e_sweep.csv",
     resume_from="results/tpu_v5e_sweep.csv",
     progress=progress,
+    job_timeout=600.0,
 )
 write_json("results/tpu_v5e_sweep.json", records,
            hardware="TPU v5e (1 chip)", note="amortized steady-state timing")
