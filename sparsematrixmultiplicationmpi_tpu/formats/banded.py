@@ -101,6 +101,8 @@ class BandedBlocks:
         itemsize = np.asarray(csr.values).dtype.itemsize
         nnz = max(csr.nnz, 1)
         if block_rows is None:
+            from .windowed import SPILL_RESTORE_S_PER_ROW
+
             gather_time = nnz * gather_ns_per_row * 1e-9  # pure-ELL estimate
             best = None
             vb = nnz * itemsize
@@ -110,8 +112,14 @@ class BandedBlocks:
                 cov = band_coverage(csr, r)
                 nb = -(-m // r)
                 dense_bytes = nb * r * 3 * r * itemsize
+                # Any nonzero spill pays the fixed m-row restore take —
+                # a wider spill-free window often beats a tighter one
+                # with stragglers (fem_banded: r=256 at 1.0 coverage
+                # estimates 0.42 ms vs r=128 at 0.987 costing 0.67 ms).
                 est = (dense_bytes / hbm_bw
-                       + (1.0 - cov) * nnz * gather_ns_per_row * 1e-9)
+                       + (1.0 - cov) * nnz * gather_ns_per_row * 1e-9
+                       + (m * SPILL_RESTORE_S_PER_ROW if cov < 1.0
+                          else 0.0))
                 if (cov >= min_coverage and dense_bytes <= max_inflation * vb
                         and est < gather_time):
                     if best is None or est < best[0]:
