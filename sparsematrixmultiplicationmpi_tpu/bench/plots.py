@@ -9,6 +9,8 @@ the same figure families straight from sweep records:
 * speedup + efficiency vs device count
 * throughput (GFLOP/s, Gnnz/s) vs fat-vector width k
 * matrix-impact comparison at fixed k
+* computation-vs-communication split per strategy (the reference's
+  ``results_debug.csv`` figure family, ``get_csv_debug.sh:7``)
 
 Design rules: one axis per figure, fixed per-strategy color assignment
 (never cycled), thin 2px lines with >=8px markers, recessive grid,
@@ -23,7 +25,7 @@ from .harness import BenchRecord
 
 __all__ = [
     "plot_time_vs_devices", "plot_speedup", "plot_throughput_vs_k",
-    "plot_matrix_impact", "render_all",
+    "plot_matrix_impact", "plot_comm_comp", "render_all",
 ]
 
 # Fixed categorical assignment (validated palette; color follows the
@@ -192,6 +194,41 @@ def plot_matrix_impact(records: Iterable[BenchRecord], path: str,
     return _save(fig, path)
 
 
+def plot_comm_comp(records: Iterable[BenchRecord], path: str, *,
+                   matrix: str, k: int):
+    """Stacked computation/communication bars per strategy — the
+    reference's debug-timer figure family (``results_debug.csv``,
+    scraped by ``get_csv_debug.sh:49-52``), from the differential
+    profiler split (``utils/profiling.py::comm_comp_split``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = [r for r in records
+            if r.matrix == matrix and r.k == k
+            and r.comp_time is not None and r.comm_time is not None
+            and r.comp_time == r.comp_time]
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r.strategy)
+    names = [_STRATEGY_LABELS.get(r.strategy, r.strategy) for r in rows]
+    comp = [r.comp_time * 1e3 for r in rows]
+    comm = [r.comm_time * 1e3 for r in rows]
+    fig, ax = plt.subplots(figsize=(6.4, 0.6 + 0.5 * len(rows)))
+    y = range(len(rows))
+    ax.barh(y, comp, height=0.55, color="#2a78d6", label="computation")
+    ax.barh(y, comm, height=0.55, left=comp, color="#eb6834",
+            label="communication/other")
+    ax.set_yticks(list(y))
+    ax.set_yticklabels(names, fontsize=8)
+    ax.invert_yaxis()
+    _style(ax, f"{matrix}: comp vs comm per SpMM (k={k})",
+           "time per SpMM [ms]", "")
+    ax.legend(fontsize=8, frameon=False)
+    return _save(fig, path)
+
+
 def render_all(records: Sequence[BenchRecord], out_dir: str) -> List[str]:
     """Render the full figure set for a sweep (one per matrix x k for
     scaling figures + the cross-matrix comparison)."""
@@ -214,6 +251,19 @@ def render_all(records: Sequence[BenchRecord], out_dir: str) -> List[str]:
         paths.append(plot_throughput_vs_k(
             sub_k, os.path.join(out_dir, f"throughput_{safe}.png"),
             matrix=mat))
+    # Comm/comp split at the largest k that has populated split columns.
+    for mat in matrices:
+        safe = mat.replace("/", "_").replace(":", "_")
+        with_split = [r for r in records if r.matrix == mat
+                      and r.comp_time is not None]
+        if with_split:
+            k_split = max(r.k for r in with_split)
+            p = plot_comm_comp(
+                with_split,
+                os.path.join(out_dir, f"commcomp_{safe}_k{k_split}.png"),
+                matrix=mat, k=k_split)
+            if p:
+                paths.append(p)
     if len(matrices) > 1:
         paths.append(plot_matrix_impact(
             records, os.path.join(out_dir, "matrix_impact.png")))
