@@ -30,7 +30,11 @@ def test_launcher_single_process_cluster():
         JAX_PLATFORM_NAME="cpu",
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        # PYTHONPATH deliberately excludes the accelerator site dir
+        # (sitecustomize there force-loads the tunneled-TPU plugin,
+        # whose init blocks indefinitely when the tunnel is down — this
+        # is a CPU-only test).
+        PYTHONPATH=REPO,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
