@@ -1,0 +1,79 @@
+"""Auto format-routing regressions — each case pins a measured-on-TPU
+round-2 outcome (scripts/exp_gather_calib2.py, exp_global_threshold.py):
+
+* pure-band matrices -> BandedBlocks (2.7x fewer bytes than windowed
+  tiles; auto picking windowed here measured 1.5x slower CG iterations),
+* FEM-mesh matrices -> WindowedPairs,
+* mild-skew graphs at large k -> BucketedELL (COO measured 2.3x slower
+  at k=128: the segment-sum costs ~11.5 ns/nnz),
+* heavy-skew graphs where ELL slot inflation explodes and tiles don't
+  apply -> COO.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sparsematrixmultiplicationmpi_tpu.formats.banded import BandedBlocks
+from sparsematrixmultiplicationmpi_tpu.formats.matrix import COO, BucketedELL
+from sparsematrixmultiplicationmpi_tpu.formats.windowed import WindowedPairs
+from sparsematrixmultiplicationmpi_tpu.io.generate import (
+    banded_csr, fem3d_csr, generate_fat_vector, powerlaw_csr,
+)
+from sparsematrixmultiplicationmpi_tpu.ops.auto import auto_format, spmm_any
+from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+
+def _check(operand, csr, k=3):
+    v = generate_fat_vector(csr.shape[1], k, seed=5)
+    got = np.asarray(spmm_any(operand, jnp.asarray(
+        v, dtype=np.asarray(csr.values).dtype)), np.float64)
+    oracle = spmm_host_f64(csr, v)
+    scale = np.abs(oracle).max() + 1e-30
+    assert np.max(np.abs(got - oracle)) / scale < 5e-5
+
+
+def test_pure_band_routes_to_banded():
+    csr = banded_csr(20_000, 60, 12, seed=2).astype(jnp.float32)
+    f = auto_format(csr, k_nominal=8)
+    assert isinstance(f, BandedBlocks), type(f)
+    assert f.est_seconds < np.inf
+    _check(f, csr)
+
+
+def test_fem_mesh_routes_to_windowed():
+    csr = fem3d_csr(20_000, 420_000, seed=3).astype(jnp.float32)
+    f = auto_format(csr, k_nominal=32)
+    assert isinstance(f, WindowedPairs), type(f)
+    _check(f, csr)
+
+
+def test_mild_skew_large_k_routes_to_bucketed_ell():
+    # avg degree ~6, mild skew (the GCN-graph class), uniform scatter so
+    # tiles cannot win.
+    rng = np.random.default_rng(7)
+    m, deg = 30_000, 6
+    rows = np.repeat(np.arange(m), deg)
+    cols = rng.integers(0, m, size=m * deg)
+    vals = rng.uniform(0.5, 1.5, size=m * deg).astype(np.float32)
+    csr = COO.from_arrays(vals, rows, cols, (m, m)).to_csr()
+    f = auto_format(csr, k_nominal=128)
+    assert isinstance(f, BucketedELL), type(f)
+    _check(f, csr)
+
+
+def test_heavy_skew_small_k_routes_to_coo():
+    # Power-law WITHOUT tileable clustering: shuffle the column space so
+    # RCM cannot cluster the hubs into dense tiles.
+    csr0 = powerlaw_csr(30_000, 30_000, 240_000, seed=9)
+    coo = csr0.to_coo()
+    rng = np.random.default_rng(10)
+    perm = rng.permutation(30_000)
+    csr = COO.from_arrays(
+        np.asarray(coo.values, np.float32),
+        perm[np.asarray(coo.row_indices)],
+        perm[np.asarray(coo.col_indices)][::-1].copy(),
+        (30_000, 30_000)).to_csr()
+    f = auto_format(csr, k_nominal=1)
+    assert isinstance(f, (COO, BucketedELL, WindowedPairs)), type(f)
+    if isinstance(f, (COO, BucketedELL)):
+        _check(f, csr)
