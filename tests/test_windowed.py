@@ -242,3 +242,54 @@ def test_step_scalars_even_runs():
     expect_first = np.concatenate([[1], (pb2[1:] != pb2[:-1])]).astype(int)
     np.testing.assert_array_equal(first, expect_first)
     assert first.sum() == wp.n_blocks
+
+
+@pytest.mark.parametrize("U", [4, 8])
+def test_windowed_multi_pair_kernel_matches_oracle(U):
+    """U-pairs-per-step scratch-accumulator kernel (interpret mode):
+    steps span block boundaries freely; only a global <=U-1 zero-tile
+    tail pad is required. Differential vs the host f64 oracle with the
+    spill path composed via _finish."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        _pad_pairs_multi, windowed_matmul_multi,
+    )
+    from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
+
+    csr = fem3d_csr(2000, 40000, seed=151).astype(jnp.float32)
+    wp = WindowedPairs.from_csr(csr, block_rows=32, chunk_cols=128)
+    assert wp is not None
+    v = generate_fat_vector(csr.shape[1], 8, seed=152).astype(np.float32)
+    oracle = spmm_host_f64(csr, v)
+    v_p = wp.encode(jnp.asarray(v))
+    pb, pc, ts = _pad_pairs_multi(
+        wp.pair_block, wp.pair_chunk, wp.tiles_split, wp.n_blocks, U)
+    assert len(pb) % U == 0
+    out = windowed_matmul_multi(
+        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
+        nb=wp.n_blocks, pairs_per_step=U, split=True, interpret=True)
+    got = np.asarray(wp.decode(_finish(wp, out, v_p)))
+    rel = np.abs(got - oracle).max() / np.abs(oracle).max()
+    assert rel < 5e-3  # documented f32 split3 tier
+
+
+def test_windowed_multi_pair_plain_f32_exact():
+    """Single-plane f32 HIGHEST mode of the multi-pair kernel is exact on
+    integer-valued data (no bf16 split involved)."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        _pad_pairs_multi, windowed_matmul_multi,
+    )
+    from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
+
+    csr = banded_csr(600, 20, 7, seed=153).astype(jnp.float32)
+    wp = WindowedPairs.from_csr(csr, block_rows=16, chunk_cols=128)
+    assert wp is not None
+    v = generate_fat_vector(csr.shape[1], 16, seed=154).astype(np.float32)
+    oracle = spmm_host_f64(csr, v)
+    v_p = wp.encode(jnp.asarray(v))
+    pb, pc, ts = _pad_pairs_multi(
+        wp.pair_block, wp.pair_chunk, wp.tiles, wp.n_blocks, 8)
+    out = windowed_matmul_multi(
+        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
+        nb=wp.n_blocks, pairs_per_step=8, split=False, interpret=True)
+    got = np.asarray(wp.decode(_finish(wp, out, v_p)))
+    np.testing.assert_allclose(got, oracle, atol=1e-4)
