@@ -83,6 +83,11 @@ HBM_BW = 819e9
 GATHER_S_PER_ROW = 4.8e-9
 TILE_OVERHEAD_S = 191e-9
 TILE_STREAM_BW = 758e9
+#: Kernel generation new builds target: 2 = two-pair kernel with even
+#: per-block runs; >2 = U-pair scratch-accumulator kernel
+#: (``ops/pallas_windowed.py::windowed_matmul_multi``), global tail pad
+#: only. Flip after probe16 measurements on real hardware.
+PRODUCTION_PAIRS_PER_STEP = 2
 #: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
 #: over m rows plus the full-size add (419 us measured at m=121k, k=32 —
 #: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
@@ -309,6 +314,11 @@ class WindowedPairs:
     block_rows: int = _static_field()
     chunk_cols: int = _static_field()
     est_seconds: float = _static_field()  # cost-model estimate (k=32)
+    #: Pairs per Pallas grid step the build padded for. 2 = legacy
+    #: even-run padding (two-pair kernel); >2 = global tail pad only
+    #: (U-pair scratch-accumulator kernel, ops/pallas_windowed.py::
+    #: windowed_matmul_multi).
+    pairs_per_step: int = _static_field(default=2)
 
     @property
     def dtype(self):
@@ -392,7 +402,8 @@ class WindowedPairs:
                  candidates=DEFAULT_CANDIDATES,
                  k_nominal: int = 32,
                  max_inflation: float = 96.0,
-                 beat_gather_margin: float = 0.8
+                 beat_gather_margin: float = 0.8,
+                 pairs_per_step: Optional[int] = None
                  ) -> Optional["WindowedPairs"]:
         """Build windowed storage; returns ``None`` when no tile
         configuration beats the pure gather path by ``beat_gather_margin``
@@ -402,7 +413,13 @@ class WindowedPairs:
         ``block_rows``/``chunk_cols`` pin one or both dimensions.
         ``reorder="auto"`` applies RCM when the matrix is square and the
         reordered tiling estimates cheaper; ``None`` disables.
+        ``pairs_per_step`` (default ``PRODUCTION_PAIRS_PER_STEP``) selects
+        the Pallas kernel generation the padding targets: 2 = even
+        per-block runs (two-pair kernel), >2 = global tail pad only
+        (U-pair scratch-accumulator kernel).
         """
+        if pairs_per_step is None:
+            pairs_per_step = PRODUCTION_PAIRS_PER_STEP
         m, n = csr.shape
         if m == 0 or csr.nnz == 0:
             return None
@@ -456,21 +473,33 @@ class WindowedPairs:
             tiles = np.concatenate(
                 [tiles, np.zeros((len(missing), R, C), tiles.dtype)])
 
-        # Even-length pair runs: the production kernel processes TWO
-        # pairs per grid step (amortizing the ~191 ns per-step overhead —
-        # measured 22 % faster at +11 % zero-tile pad on the cop20k
-        # stand-in, scripts/exp_kernel_probe15.py), which requires every
-        # block's run to have even length so a step never spans blocks.
-        counts = np.bincount(pb_raw, minlength=nb)
-        odd = np.nonzero(counts % 2)[0]
-        if len(odd):
-            pb_raw = np.concatenate([pb_raw, odd])
-            pc_raw = np.concatenate(
-                [pc_raw, np.zeros(len(odd), np.int64)])
-            tiles = np.concatenate(
-                [tiles, np.zeros((len(odd), R, C), tiles.dtype)])
+        if pairs_per_step == 2:
+            # Even-length pair runs: the two-pair kernel's output
+            # BlockSpec forbids a step spanning blocks (amortizing the
+            # ~191 ns per-step overhead — measured 22 % faster at +11 %
+            # zero-tile pad on the cop20k stand-in, probe15).
+            counts = np.bincount(pb_raw, minlength=nb)
+            odd = np.nonzero(counts % 2)[0]
+            if len(odd):
+                pb_raw = np.concatenate([pb_raw, odd])
+                pc_raw = np.concatenate(
+                    [pc_raw, np.zeros(len(odd), np.int64)])
+                tiles = np.concatenate(
+                    [tiles, np.zeros((len(odd), R, C), tiles.dtype)])
         order = np.argsort(pb_raw, kind="stable")
         pb_raw, pc_raw, tiles = pb_raw[order], pc_raw[order], tiles[order]
+        if pairs_per_step > 2:
+            # U-pair scratch-accumulator kernel: steps span blocks, only
+            # the TOTAL pair count must be a U multiple (zero tiles on
+            # the last block keep the ascending order).
+            pad = (-len(pb_raw)) % pairs_per_step
+            if pad:
+                pb_raw = np.concatenate(
+                    [pb_raw, np.full(pad, nb - 1, pb_raw.dtype)])
+                pc_raw = np.concatenate(
+                    [pc_raw, np.zeros(pad, np.int64)])
+                tiles = np.concatenate(
+                    [tiles, np.zeros((pad, R, C), tiles.dtype)])
 
         block_ptr = np.searchsorted(
             pb_raw, np.arange(nb + 1)).astype(np.int32)
@@ -502,7 +531,7 @@ class WindowedPairs:
             block_ptr=block_ptr, tiles_split=_split_planes(tiles),
             spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
-            est_seconds=float(est),
+            est_seconds=float(est), pairs_per_step=pairs_per_step,
         )
 
     def to_dense(self) -> jax.Array:

@@ -274,6 +274,11 @@ def windowed_matmul_multi(pair_block: jax.Array, pair_chunk: jax.Array,
     """
     U = pairs_per_step
     P, R, C2 = tiles.shape
+    if P % U:
+        raise ValueError(
+            f"pair count {P} not a multiple of pairs_per_step {U}; "
+            "build the format with the matching pairs_per_step "
+            "(or pad via _pad_pairs_multi)")
     C = C2 // 2 if split else C2
     k = v_pad.shape[1]
     if split:
@@ -449,6 +454,19 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
         from .windowed import spmm_windowed_xla
 
         return spmm_windowed_xla(wp, v_p)
+    if wp.pairs_per_step > 2:
+        split = (wp.tiles.dtype == jnp.float32
+                 and wp.tiles_split is not None)
+        tiles = wp.tiles_split if split else wp.tiles
+        v_in = v_p
+        if not split and v_in.dtype != wp.tiles.dtype:
+            v_in = v_in.astype(wp.tiles.dtype)
+        computed = windowed_matmul_multi(
+            wp.pair_block, wp.pair_chunk, jnp.asarray(tiles), v_in,
+            nb=nb, pairs_per_step=wp.pairs_per_step, split=split,
+            interpret=interpret,
+        )
+        return _finish(wp, computed, v_p)
     if wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None:
         computed = windowed_matmul_split3(
             wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_split),

@@ -293,3 +293,23 @@ def test_windowed_multi_pair_plain_f32_exact():
         nb=wp.n_blocks, pairs_per_step=8, split=False, interpret=True)
     got = np.asarray(wp.decode(_finish(wp, out, v_p)))
     np.testing.assert_allclose(got, oracle, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_windowed_format_pairs_per_step_8_dispatch(dtype):
+    """A format built with pairs_per_step=8 pads globally (no even-run
+    padding) and spmm_windowed_pallas dispatches it through the
+    multi-pair kernel end-to-end."""
+    csr = fem3d_csr(2000, 40000, seed=161).astype(dtype)
+    wp = WindowedPairs.from_csr(csr, block_rows=32, chunk_cols=128,
+                                pairs_per_step=8)
+    assert wp is not None and wp.pairs_per_step == 8
+    assert wp.n_pairs % 8 == 0
+    v = generate_fat_vector(csr.shape[1], 8, seed=162).astype(np.float32)
+    oracle = spmm_host_f64(csr, v)
+    v_p = wp.encode(jnp.asarray(v, dtype))
+    got = np.asarray(
+        wp.decode(spmm_windowed_pallas(wp, v_p, interpret=True)),
+        dtype=np.float64)
+    rel = np.abs(got - oracle).max() / np.abs(oracle).max()
+    assert rel < (5e-3 if dtype == jnp.float32 else 3e-2)
