@@ -118,11 +118,17 @@ def _split_planes(tiles):
     return jnp.concatenate([hi, lo], axis=-1)
 
 
-def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int) -> float:
+def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
+                 pairs_per_step: int = 2) -> float:
     """Cost of one dense tile: fixed per-tile overhead plus tile and
-    fat-vector-slab bytes at the measured kernel streaming rate."""
+    fat-vector-slab bytes at the measured kernel streaming rate.
+
+    The fixed cost is per GRID STEP (~2x191 ns at the two-pair kernel's
+    fit), so U pairs per step divide it: per-tile overhead =
+    ``TILE_OVERHEAD_S * 2 / pairs_per_step``. Refit against probe16 when
+    hardware numbers land."""
     stream = (R * C * itemsize + C * k_nominal * 4) / TILE_STREAM_BW
-    return TILE_OVERHEAD_S + stream
+    return TILE_OVERHEAD_S * 2 / pairs_per_step + stream
 
 
 def _pair_counts(i, j, R: int, C: int, n_chunks: int):
@@ -135,7 +141,8 @@ def _pair_counts(i, j, R: int, C: int, n_chunks: int):
 
 
 def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
-                           itemsize: int, k_nominal: int = 32):
+                           itemsize: int, k_nominal: int = 32,
+                           pairs_per_step: int = 2):
     """Estimated per-SpMM seconds for tile size (R, C) with the GLOBAL
     optimal dense/spill split, plus the count threshold and tile stats.
 
@@ -151,7 +158,7 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
     """
     n_chunks = -(-n // C)
     _, uniq, _, counts = _pair_counts(i, j, R, C, n_chunks)
-    pair_cost = _pair_cost_s(R, C, itemsize, k_nominal)
+    pair_cost = _pair_cost_s(R, C, itemsize, k_nominal, pairs_per_step)
     order = np.argsort(-counts, kind="stable")
     cs = counts[order]
     spill_after = np.concatenate([cs[::-1].cumsum()[::-1], [0]])
@@ -204,7 +211,8 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                     chunk_cols=None, reorder="auto",
                     candidates=DEFAULT_CANDIDATES, k_nominal: int = 32,
                     max_inflation: float = 96.0,
-                    beat_gather_margin: float = 0.8):
+                    beat_gather_margin: float = 0.8,
+                    pairs_per_step: int = 2):
     """Cost-model search over tile shapes x orderings (host-side numpy).
 
     Returns the winning ``(est, R, C, perm, i, j, dense, uniq, counts)``
@@ -248,7 +256,8 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
     for perm, i, j in orderings:
         for R, C_cand in tile_shapes:
             est, _, dense, uniq, counts = windowed_cost_estimate(
-                i, j, m, n, R, C_cand, itemsize, k_nominal
+                i, j, m, n, R, C_cand, itemsize, k_nominal,
+                pairs_per_step,
             )
             tile_bytes = int(dense.sum()) * R * C_cand * itemsize
             if tile_bytes > max_inflation * csr.nnz * itemsize:
@@ -435,6 +444,7 @@ class WindowedPairs:
             reorder=reorder, candidates=candidates, k_nominal=k_nominal,
             max_inflation=max_inflation,
             beat_gather_margin=beat_gather_margin,
+            pairs_per_step=pairs_per_step,
         )
         if best is None:
             return None
