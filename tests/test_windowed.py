@@ -313,3 +313,31 @@ def test_windowed_format_pairs_per_step_8_dispatch(dtype):
         dtype=np.float64)
     rel = np.abs(got - oracle).max() / np.abs(oracle).max()
     assert rel < (5e-3 if dtype == jnp.float32 else 3e-2)
+
+
+def test_windowed_multi_pair_many_flushes_per_step():
+    """R=8 blocks on a narrow band make pair runs of ~1-2 per block, so a
+    U=8 step crosses several block boundaries — stressing the in-step
+    flush sequencing (stage reuse waits the previous DMA)."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        _pad_pairs_multi, windowed_matmul_multi,
+    )
+    from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
+
+    csr = banded_csr(800, 30, 10, seed=171).astype(jnp.float32)
+    wp = WindowedPairs.from_csr(csr, block_rows=8, chunk_cols=128,
+                                beat_gather_margin=1e9)
+    assert wp is not None
+    runs = np.diff(np.asarray(wp.block_ptr))
+    assert runs.max() <= 4  # short runs: steps really do span blocks
+    v = generate_fat_vector(csr.shape[1], 8, seed=172).astype(np.float32)
+    oracle = spmm_host_f64(csr, v)
+    v_p = wp.encode(jnp.asarray(v))
+    pb, pc, ts = _pad_pairs_multi(
+        wp.pair_block, wp.pair_chunk, wp.tiles_split, wp.n_blocks, 8)
+    out = windowed_matmul_multi(
+        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
+        nb=wp.n_blocks, pairs_per_step=8, split=True, interpret=True)
+    got = np.asarray(wp.decode(_finish(wp, out, v_p)))
+    rel = np.abs(got - oracle).max() / np.abs(oracle).max()
+    assert rel < 5e-3
