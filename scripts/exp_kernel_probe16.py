@@ -98,4 +98,39 @@ for R, C in shapes:
         except Exception as e:
             print(f"  multi  U={U:<2}: FAILED {type(e).__name__}: {e}"[:300],
                   flush=True)
+# ---- phase 2: free cost-model search per U, full core (with spill) ----
+import dataclasses
+
+from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+oracle = np.asarray(spmm_host_f64(csr, v_host))
+o_norm = np.abs(oracle).max()
+for U in (2, 8, 16):
+    t0 = time.time()
+    wp = WindowedPairs.from_csr(csr, pairs_per_step=U)
+    if wp is None:
+        print(f"U={U}: builder refused", flush=True)
+        continue
+    spill_slots = 0 if wp.spill is None else sum(
+        b.m_padded * b.width for b in wp.spill.buckets)
+    print(f"U={U} free search -> R={wp.block_rows} C={wp.chunk_cols} "
+          f"P={wp.n_pairs} est {wp.est_seconds*1e3:.3f}ms "
+          f"spill_slots={spill_slots} (build {time.time()-t0:.0f}s)",
+          flush=True)
+    wp = jax.device_put(wp, dev)
+    jax.block_until_ready(jax.tree.leaves(wp))
+    v_p = jax.device_put(jax.jit(wp.encode)(jnp.asarray(v_host)), dev)
+    try:
+        got = np.asarray(jax.jit(wp.decode)(
+            spmm_windowed_core(wp, v_p, use_pallas=True)))
+        err = np.abs(got - oracle).max() / o_norm
+        tm, _ = measure_amortized(
+            lambda vp_, w_: spmm_windowed_core(w_, vp_, use_pallas=True),
+            v_p, wp, inner=20, warmup=1, iters=3)
+        per = tm.seconds_per_iter
+        print(f"  full core U={U}: {per*1e3:8.3f} ms = "
+              f"{nnz/per/1e9:5.2f} Gnnz/s (rel err {err:.1e})", flush=True)
+    except Exception as e:
+        print(f"  full core U={U}: FAILED {type(e).__name__}: {e}"[:300],
+              flush=True)
 print("done", flush=True)
