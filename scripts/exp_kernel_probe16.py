@@ -98,6 +98,48 @@ for R, C in shapes:
         except Exception as e:
             print(f"  multi  U={U:<2}: FAILED {type(e).__name__}: {e}"[:300],
                   flush=True)
+from probe16_ns import multi_ns  # noqa: E402
+
+for R, C in ((128, 128), (256, 256)):
+    wp = WindowedPairs.from_csr(csr, block_rows=R, chunk_cols=C)
+    if wp is None:
+        continue
+    wp = jax.device_put(wp, dev)
+    jax.block_until_ready(jax.tree.leaves(wp))
+    v_p = jax.device_put(jax.jit(wp.encode)(jnp.asarray(v_host)), dev)
+    import dataclasses as _dc
+
+    wp_ns0 = _dc.replace(wp, spill=None)
+    ref_ns = np.asarray(spmm_windowed_xla(wp_ns0, v_p))
+    r_norm = np.abs(ref_ns).max()
+    for U in (8,):
+        pb, pc, ts = _pad_pairs_multi(
+            wp.pair_block, wp.pair_chunk, wp.tiles_split, wp.n_blocks, U)
+        pb, pc, ts = (jax.device_put(jnp.asarray(pb), dev),
+                      jax.device_put(jnp.asarray(pc), dev),
+                      jax.device_put(jnp.asarray(ts), dev))
+        jax.block_until_ready((pb, pc, ts))
+
+        def core(vp_, pb_, pc_, ts_, U=U):
+            out = multi_ns(pb_, pc_, ts_, vp_, nb=wp.n_blocks, U=U)
+            from sparsematrixmultiplicationmpi_tpu.ops.windowed import (
+                _finish as _f)
+
+            return _f(wp_ns0, out, vp_)
+
+        try:
+            got = np.asarray(core(v_p, pb, pc, ts))
+            err = np.abs(got - ref_ns).max() / r_norm
+            tm, _ = measure_amortized(
+                core, v_p, pb, pc, ts, inner=20, warmup=1, iters=3)
+            per = tm.seconds_per_iter
+            print(f"  multiNS R={R} C={C} U={U}: {per*1e3:8.3f} ms "
+                  f"({per/wp.n_pairs*1e9:6.1f} ns/tile, rel err {err:.1e})",
+                  flush=True)
+        except Exception as e:
+            print(f"  multiNS R={R} C={C} U={U}: FAILED "
+                  f"{type(e).__name__}: {e}"[:300], flush=True)
+
 # ---- phase 2: free cost-model search per U, full core (with spill) ----
 import dataclasses
 
