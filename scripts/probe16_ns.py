@@ -18,7 +18,7 @@ def _kernel_multi_ns(pb_ref, pc_ref, tile_ref, *rest, U, C):
     def _():
         cur[0] = pb_ref[0]
         cnt[0] = 0
-        acc[...] = jnp.zeros_like(acc)
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     def flush():
         @pl.when(cnt[0] == 1)
@@ -28,7 +28,7 @@ def _kernel_multi_ns(pb_ref, pc_ref, tile_ref, *rest, U, C):
         pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
         prev[0] = cur[0]
         cnt[0] = 1
-        acc[...] = jnp.zeros_like(acc)
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     def dot(a, b):
         return jax.lax.dot_general(

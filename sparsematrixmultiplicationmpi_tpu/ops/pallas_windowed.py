@@ -194,7 +194,7 @@ def _kernel_multi(pb_ref, pc_ref, tile_ref, *rest, U: int, C: int,
     def _():
         cur[0] = pb_ref[0]
         cnt[0] = 0
-        acc[...] = jnp.zeros_like(acc)
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     def wait_prev():
         @pl.when(cnt[0] == 1)
@@ -210,7 +210,7 @@ def _kernel_multi(pb_ref, pc_ref, tile_ref, *rest, U: int, C: int,
         pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
         prev[0] = cur[0]
         cnt[0] = 1
-        acc[...] = jnp.zeros_like(acc)
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     d = jax.lax.Precision.DEFAULT
     hi = jax.lax.Precision.HIGHEST
