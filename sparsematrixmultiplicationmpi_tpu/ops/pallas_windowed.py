@@ -351,6 +351,13 @@ def windowed_matmul_pallas(pair_block: jax.Array, pair_chunk: jax.Array,
     """
     P, R, C = tiles.shape
     k = v_pad.shape[1]
+    if P % 2:
+        # An odd pair count would silently drop the last pair (S = P//2)
+        # — a contract violation (even per-block runs) by the caller.
+        raise ValueError(
+            f"windowed_matmul_pallas requires an even pair count, got "
+            f"{P}; pad per-block runs to even length "
+            "(WindowedPairs.from_csr pairs_per_step=2 branch)")
     if v_pad.dtype != tiles.dtype:
         v_pad = v_pad.astype(tiles.dtype)
     (v_chunks,) = chunk_slabs(v_pad, C=C, split=False,
@@ -393,6 +400,11 @@ def windowed_matmul_split3(pair_block: jax.Array, pair_chunk: jax.Array,
     P, R, C2 = tiles_split.shape
     C = C2 // 2
     k = v_pad.shape[1]
+    if P % 2:
+        raise ValueError(
+            f"windowed_matmul_split3 requires an even pair count, got "
+            f"{P}; pad per-block runs to even length "
+            "(WindowedPairs.from_csr pairs_per_step=2 branch)")
     (slabs,) = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
                            interpret=interpret)
     pb2, pce, pco, first = _step_scalars(pair_block, pair_chunk)
@@ -454,6 +466,21 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
         from .windowed import spmm_windowed_xla
 
         return spmm_windowed_xla(wp, v_p)
+    if wp.pairs_per_step <= 2:
+        # Host-side contract audit (format arrays stay host-side numpy
+        # until first use): the two-pair kernels require pairs 2s/2s+1
+        # to share a row block; a violation would silently corrupt the
+        # output (ADVICE r2 #2). Skipped for traced/device arrays —
+        # builds via WindowedPairs.from_csr already guarantee it.
+        import numpy as np
+
+        pb_host = wp.pair_block
+        if isinstance(pb_host, np.ndarray):
+            if len(pb_host) % 2 or np.any(pb_host[0::2] != pb_host[1::2]):
+                raise ValueError(
+                    "two-pair kernel contract violated: per-block pair "
+                    "runs must be padded to even length "
+                    "(WindowedPairs.from_csr pairs_per_step=2 branch)")
     if wp.pairs_per_step > 2:
         split = (wp.tiles.dtype == jnp.float32
                  and wp.tiles_split is not None)

@@ -68,11 +68,17 @@ def collective_stats(hlo_text: str) -> Dict[str, Tuple[int, int]]:
     stats: Dict[str, Tuple[int, int]] = {}
     for line in hlo_text.splitlines():
         stripped = line.strip()
-        # Match op lines: "%name = TYPE[dims]{layout} op-name(...)".
+        # Match op lines: "%name = TYPE[dims]{layout} op-name(...)" —
+        # TYPE may be a tuple "(f32[8,4], f32[8])" when XLA's
+        # collective-combiner merged several collectives into one
+        # variadic op, so the shape scan must cover everything between
+        # '=' and the op token, not stop at the first '(' (ADVICE r2).
         for op in COLLECTIVE_OPS:
-            if re.search(rf"\b{op}[.\d]*\(", stripped) and "=" in stripped:
+            m = re.search(rf"\b{op}[.\d]*\(", stripped)
+            if m and "=" in stripped:
                 lhs = stripped.split("=", 1)[1]
-                head = lhs.split("(", 1)[0]
+                op_at = lhs.find(m.group(0))
+                head = lhs[:op_at] if op_at >= 0 else lhs.split("(", 1)[0]
                 nbytes = sum(
                     _shape_bytes(d, s) for d, s in _SHAPE_RE.findall(head)
                 )

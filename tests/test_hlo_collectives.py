@@ -125,3 +125,18 @@ def test_row_wise_ungathered_moves_fewer_bytes():
         return sum(b for _, b in collective_stats(hlo).values())
 
     assert total_bytes(False) < total_bytes(True)
+
+
+def test_collective_stats_counts_tuple_result_ops():
+    """XLA's collective-combiner merges several all-gathers into one
+    variadic op with a tuple result type; the byte audit must sum every
+    tuple element, not stop at the tuple's opening parenthesis
+    (ADVICE r2 #4 — the old parser counted 0 bytes for these)."""
+    hlo = (
+        "  %ag = (f32[16,8]{1,0}, f32[4,2]{1,0}) "
+        "all-gather(f32[2,8] %a, f32[1,2] %b), replica_groups={}\n"
+        "  %ar.1 = f32[8]{0} all-reduce(f32[8] %x), to_apply=%sum\n"
+    )
+    stats = collective_stats(hlo)
+    assert stats["all-gather"] == (1, 16 * 8 * 4 + 4 * 2 * 4)
+    assert stats["all-reduce"] == (1, 8 * 4)

@@ -32,8 +32,47 @@ def test_failed_job_recorded_not_fatal(tmp_path):
         assert ok["row_wise"].correct is True
         assert ok["exploding"].correct is False
         assert ok["exploding"].gflops == 0.0
+        # The failure is diagnosable from the record alone (round 2's one
+        # real failure left no error string anywhere — VERDICT Missing #3).
+        assert "RuntimeError" in ok["exploding"].error
+        assert "boom" in ok["exploding"].error
     finally:
         del STRATEGIES["exploding"]
+
+
+class _BadCtor(Strategy):
+    name = "bad_ctor"
+
+    def __init__(self):
+        raise ValueError("ctor boom")
+
+    def prepare(self, csr, mesh):  # pragma: no cover — never reached
+        return None
+
+    def spmm(self, operand, v, mesh, *, gather_result=True):
+        raise NotImplementedError  # pragma: no cover
+
+
+def test_strategy_construction_failure_recorded(tmp_path):
+    """Round 2's fem_banded/k=12/auto failure escaped the per-job guard
+    (it raised before run_benchmark) and silently dropped the row plus
+    every job after it. Construction failures must now be recorded rows
+    and the sweep must continue."""
+    STRATEGIES["bad_ctor"] = _BadCtor
+    try:
+        path = str(tmp_path / "ckpt.csv")
+        mats = {"m": random_csr(30, 30, 150, seed=174)}
+        records = sweep(mats, ks=[2], strategy_names=["bad_ctor", "row"],
+                        device_counts=[1], warmup=1, iters=1,
+                        checkpoint_csv=path)
+        assert [r.strategy for r in records] == ["bad_ctor", "row_wise"]
+        assert records[0].correct is False
+        assert "ctor boom" in records[0].error
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2 and "ctor boom" in rows[0]["error"]
+    finally:
+        del STRATEGIES["bad_ctor"]
 
 
 def test_on_error_raise(tmp_path):
