@@ -65,3 +65,46 @@ def test_pallas_band_k_not_sublane_aligned(k):
     oracle = spmm_host_f64(csr, np.asarray(v))
     rel = np.max(np.abs(out - oracle) / np.maximum(np.abs(oracle), 1))
     assert rel < 1e-4
+
+
+def test_ell_gather_rows_pallas_interpret():
+    """Experimental DMA-gather spill kernel (ops/pallas_gather.py):
+    differential vs direct numpy gather, interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_gather import (
+        ell_gather_rows_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    Rt, W, n = 64, 3, 500
+    cols = rng.integers(0, n, (Rt, W)).astype(np.int32)
+    vals = rng.uniform(-1, 1, (Rt, W)).astype(np.float32)
+    vals[rng.uniform(size=(Rt, W)) < 0.3] = 0.0  # ELL padding slots
+    v = rng.uniform(-1, 1, (n, 128)).astype(np.float32)
+    out = np.asarray(ell_gather_rows_pallas(
+        jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(v),
+        rows_per_step=8, interpret=True))
+    ref = np.einsum("rw,rwk->rk", vals, v[cols])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_gather_rows_pallas_rejects_bad_shapes():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_gather import (
+        ell_gather_rows_pallas,
+    )
+
+    cols = jnp.zeros((10, 2), jnp.int32)
+    vals = jnp.zeros((10, 2), jnp.float32)
+    v128 = jnp.zeros((16, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        ell_gather_rows_pallas(cols, vals, v128, rows_per_step=8)
+    with pytest.raises(ValueError):
+        ell_gather_rows_pallas(
+            jnp.zeros((16, 2), jnp.int32), jnp.zeros((16, 2)),
+            jnp.zeros((16, 32), jnp.float32), rows_per_step=8)
