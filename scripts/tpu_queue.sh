@@ -1,0 +1,61 @@
+#!/bin/bash
+# TPU job queue: waits for the tunneled chip to answer, then runs the
+# round's hardware jobs in priority order, logging each to /tmp.
+# The wait_and_*.sh pattern from round 2, promoted into a checked-in
+# script (VERDICT r2 next-step #4): a flapping tunnel can no longer
+# strand measurement work.
+#
+# Usage: nohup bash scripts/tpu_queue.sh [job ...] > /tmp/tpu_queue.log 2>&1 &
+#   default jobs: probe16 constants spillgather sweep bench
+set -u
+cd "$(dirname "$0")/.."
+
+JOBS=${@:-"probe16 constants spillgather sweep bench"}
+
+probe_tunnel() {
+  timeout 180 python -c \
+    "import jax; d=jax.devices(); import jax.numpy as jnp; \
+     x=jnp.ones((256,256)); s=float((x@x).sum()); \
+     print('UP', d[0].platform)" 2>/dev/null | grep -q UP
+}
+
+echo "$(date) waiting for tunnel..."
+until probe_tunnel; do
+  echo "$(date) tunnel down, retrying in 60s"
+  sleep 60
+done
+echo "$(date) tunnel UP — starting jobs: $JOBS"
+
+run_job() {
+  local name=$1; shift
+  echo "$(date) >>> $name: $*"
+  timeout "$JOB_TIMEOUT" "$@" > "/tmp/tpu_${name}.log" 2>&1
+  local rc=$?
+  echo "$(date) <<< $name rc=$rc (log /tmp/tpu_${name}.log)"
+  if [ $rc -ne 0 ]; then
+    # Tunnel may have flapped mid-job; wait for it before the next one.
+    until probe_tunnel; do
+      echo "$(date) tunnel down after $name, retrying in 60s"
+      sleep 60
+    done
+  fi
+  return $rc
+}
+
+for job in $JOBS; do
+  case $job in
+    probe16)
+      JOB_TIMEOUT=3600 run_job probe16 python scripts/exp_kernel_probe16.py ;;
+    constants)
+      JOB_TIMEOUT=2400 run_job constants python scripts/check_cost_constants.py ;;
+    spillgather)
+      JOB_TIMEOUT=3000 run_job spillgather python scripts/exp_spill_gather.py ;;
+    sweep)
+      JOB_TIMEOUT=7200 run_job sweep python scripts/run_results_sweep.py ;;
+    bench)
+      JOB_TIMEOUT=1800 run_job bench python bench.py ;;
+    *)
+      echo "unknown job $job" ;;
+  esac
+done
+echo "$(date) queue complete"

@@ -268,14 +268,25 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
         if os.path.exists(resume_from):
             with open(resume_from) as f:
                 for row in _csv.DictReader(f):
+                    if row.get("error") not in ("", "None", None):
+                        continue  # failed jobs are retried on resume
                     done.add((row["matrix"], int(row["k"]),
                               row["strategy"], int(row["devices"])))
 
     ckpt = None
     if checkpoint_csv:
         import csv as _csv
+        import os
 
         new_file = not (resume_from == checkpoint_csv and done)
+        if not new_file:
+            # Rewrite the checkpoint before appending: (a) schema
+            # migration — an older build's header (e.g. pre-'error')
+            # would misalign appended rows; (b) drop failed rows, which
+            # resume retries — otherwise the retry would duplicate the
+            # job key.
+            old = read_csv(checkpoint_csv)
+            write_csv(checkpoint_csv, [r for r in old if not r.error])
         ckpt_f = open(checkpoint_csv, "w" if new_file else "a", newline="")
         ckpt = _csv.DictWriter(ckpt_f, fieldnames=CSV_COLUMNS)
         if new_file:

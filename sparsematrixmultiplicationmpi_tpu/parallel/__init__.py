@@ -5,10 +5,12 @@ from .strategies import (
 )
 from .banded_strategy import BandedRowWise
 from .grid2d import Grid2D
+from .windowed_strategy import WindowedRowWise
 
 __all__ = [
     "AXIS", "initialize_distributed", "make_mesh", "make_mesh_2d",
-    "STRATEGIES", "Auto", "BandedRowWise", "ColumnWise", "Grid2D",
+    "STRATEGIES", "Auto", "BandedRowWise",
+    "WindowedRowWise", "ColumnWise", "Grid2D",
     "Library", "NonZeroElement", "RowWise", "Sequential", "Strategy",
     "get_strategy",
 ]
