@@ -248,6 +248,67 @@ def test_halo_chain_is_relayout_free():
     np.testing.assert_allclose(out2, oracle2, atol=1e-5)
 
 
+def test_forced_halo_on_hub_structure_stays_correct():
+    """input_mode='halo' forced onto powerlaw structure: the windows are
+    wide (multi-hop, near-global) but the math must stay exact — halos
+    degrade to more ppermute traffic, never to wrong results. Also
+    covers the row-owned COO tail path."""
+    csr = powerlaw_csr(2000, 2000, 24000, seed=240)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=16, chunk_cols=128,
+                            input_mode="halo")
+    operand = strat.prepare(csr, mesh)
+    assert operand.input_mode == "halo"
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 3, seed=241))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    np.testing.assert_allclose(out, spmm_host_f64(csr, np.asarray(v)),
+                               atol=1e-8)
+
+
+def test_rectangular_matrix_uses_replicate_mode():
+    """Halo chaining needs the square unified block/chunk grid; a
+    rectangular operand must fall back to replication even when halo is
+    requested, and stay correct."""
+    from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+
+    csr = random_csr(1200, 2400, 20000, seed=242)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=16, chunk_cols=128,
+                            input_mode="halo", reorder=None)
+    operand = strat.prepare(csr, mesh)
+    assert operand.input_mode == "replicate"
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 2, seed=243))
+    out = np.asarray(strat.spmm(operand, v, mesh))
+    np.testing.assert_allclose(out, spmm_host_f64(csr, np.asarray(v)),
+                               atol=1e-8)
+
+
+def test_pagerank_over_windowed_halo_mesh():
+    """End-to-end model workload over the flagship distributed path:
+    PageRank's chained iterations run through the halo-mode windowed
+    strategy and match the single-host reference run."""
+    from sparsematrixmultiplicationmpi_tpu.models import (
+        normalize_columns, pagerank,
+    )
+
+    csr = fem3d_csr(1500, 30000, seed=244)
+    col_norm = normalize_columns(csr)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=32, chunk_cols=128)
+    operand = strat.prepare(col_norm, mesh)
+    assert operand.input_mode == "halo"
+
+    def spmm(v):
+        return strat.spmm(operand, v, mesh, gather_result=True)
+
+    pr, iters = pagerank(spmm, csr.shape[0], damping=0.85, tol=1e-8)
+    dense = jnp.asarray(col_norm.to_dense())
+    pr_ref, _ = pagerank(lambda v: dense @ v, csr.shape[0],
+                         damping=0.85, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pr_ref),
+                               atol=1e-6)
+
+
 def test_auto_mesh_routes_fem_to_windowed():
     # Auto on a multi-device mesh must pick the windowed row strategy for
     # FEM-class structure (VERDICT round-1: mesh Auto never reached the
