@@ -44,6 +44,8 @@ run_job() {
 
 for job in $JOBS; do
   case $job in
+    meshcheck)
+      JOB_TIMEOUT=1800 run_job meshcheck python scripts/tpu_windowed_mesh_check.py ;;
     probe16)
       JOB_TIMEOUT=3600 run_job probe16 python scripts/exp_kernel_probe16.py ;;
     constants)
