@@ -63,3 +63,40 @@ def test_fuzz_all_kernels(seed):
             out = spmm_banded(bb, vj)
             assert max_abs_error(out, oracle) < 1e-8, ("banded", seed)
             assert max_abs_error(bb.to_dense(), csr.to_dense()) < 1e-12
+
+
+@pytest.mark.parametrize("seed", range(300, 312))
+def test_fuzz_windowed_row_mesh(seed):
+    """Randomized distributed windowed-row sweep: random structure x
+    random p x random tile shape x random k, halo/replicate decided by
+    prepare — every combination must match the host f64 oracle. The
+    halo rebase arithmetic (windows, multi-hop, tail ownership) is
+    exactly the kind of index bookkeeping fuzzing catches."""
+    from sparsematrixmultiplicationmpi_tpu.parallel import make_mesh
+    from sparsematrixmultiplicationmpi_tpu.parallel.windowed_strategy \
+        import WindowedRowWise
+
+    rng = np.random.default_rng(seed)
+    kind = rng.choice(["banded", "fem", "powerlaw"])
+    m = int(rng.integers(200, 1500))
+    if kind == "banded":
+        csr = banded_csr(m, int(rng.integers(2, 30)),
+                         int(rng.integers(1, 9)), seed=seed)
+    elif kind == "powerlaw":
+        csr = powerlaw_csr(m, m, int(rng.integers(4, 15)) * m, seed=seed)
+    else:
+        from sparsematrixmultiplicationmpi_tpu.io.generate import fem3d_csr
+
+        csr = fem3d_csr(m, int(rng.integers(8, 20)) * m, seed=seed)
+    p = int(rng.choice([1, 2, 4, 8]))
+    k = int(rng.integers(1, 9))
+    R = int(rng.choice([8, 16, 32]))
+    mesh = make_mesh(p)
+    strat = WindowedRowWise(
+        block_rows=R, chunk_cols=128,
+        reorder=None if rng.uniform() < 0.5 else "auto",
+        input_mode=str(rng.choice(["auto", "halo", "replicate"])))
+    operand = strat.prepare(csr, mesh)
+    v = generate_fat_vector(csr.shape[1], k, seed=seed + 1)
+    out = np.asarray(strat.spmm(operand, jnp.asarray(v), mesh))
+    assert max_abs_error(out, spmm_host_f64(csr, v)) < 1e-8
