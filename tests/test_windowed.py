@@ -230,7 +230,9 @@ def test_step_scalars_even_runs():
     )
 
     csr = fem3d_csr(2000, 40000, seed=141)
-    wp = WindowedPairs.from_csr(csr, **SMALL)
+    # Pin the kernel generation under test: this exercises the TWO-pair
+    # scalars regardless of the production default.
+    wp = WindowedPairs.from_csr(csr, pairs_per_step=2, **SMALL)
     pb = np.asarray(wp.pair_block)
     counts = np.bincount(pb, minlength=wp.n_blocks)
     assert (counts % 2 == 0).all() and (counts >= 2).all()
@@ -325,8 +327,10 @@ def test_windowed_multi_pair_many_flushes_per_step():
     from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
 
     csr = banded_csr(800, 30, 10, seed=171).astype(jnp.float32)
+    # pairs_per_step=2 pinned: the raw short-run structure (before any
+    # global tail pad) is what stresses the in-step flush sequencing.
     wp = WindowedPairs.from_csr(csr, block_rows=8, chunk_cols=128,
-                                beat_gather_margin=1e9)
+                                beat_gather_margin=1e9, pairs_per_step=2)
     assert wp is not None
     runs = np.diff(np.asarray(wp.block_ptr))
     assert runs.max() <= 4  # short runs: steps really do span blocks
