@@ -108,6 +108,11 @@ def _split_planes(tiles):
     if tiles.dtype != np.float32 and tiles.dtype != jnp.float32:
         return None
     if isinstance(tiles, np.ndarray):
+        from .native_split import split_bf16_hilo_native
+
+        native = split_bf16_hilo_native(tiles)
+        if native is not None:
+            return native
         import ml_dtypes
 
         hi = tiles.astype(ml_dtypes.bfloat16)
@@ -470,58 +475,47 @@ class WindowedPairs:
         # Pairs ascending by (block, chunk) — uniq is sorted.
         pb_raw = (uniq[dense_ids] // n_chunks).astype(np.int64)
         pc_raw = (uniq[dense_ids] % n_chunks).astype(np.int64)
-        P = len(dense_ids)
         nb = max(-(-m // R), 1)
 
-        tiles = np.zeros((P, R, C), dtype=vals.dtype)
-        tiles[p_entry[in_dense], i[in_dense] % R,
+        # Final padded layout computed UP FRONT so the (potentially
+        # multi-GB) tile array is allocated once and scattered into once
+        # — the append-and-resort assembly it replaces made four full
+        # copies and dominated build time (cop20k: 23.8 s -> see
+        # git history for the measurement). Per block b the final run
+        # length f_b adds: a dummy zero tile when the block is empty
+        # (coverage guarantee — the Pallas kernels only write blocks
+        # they visit), an even-run pad at pairs_per_step == 2 (the
+        # two-pair kernel's output BlockSpec forbids a step spanning
+        # blocks — measured 22 % faster at +11 % zero-tile pad,
+        # probe15), and at pairs_per_step > 2 only a global tail pad on
+        # the last block (the U-pair scratch-accumulator kernel lets
+        # steps span blocks).
+        c_b = np.bincount(pb_raw, minlength=nb)
+        f_b = np.where(c_b == 0, 1, c_b)
+        if pairs_per_step == 2:
+            f_b = f_b + f_b % 2
+        tail_pad = int((-f_b.sum()) % pairs_per_step) \
+            if pairs_per_step > 2 else 0
+        P_final = int(f_b.sum()) + tail_pad
+        O_b = np.concatenate([[0], np.cumsum(c_b)[:-1]])
+        F_b = np.concatenate([[0], np.cumsum(f_b)[:-1]])
+        # Real pair at sorted position q (block b, k-th in block) lands
+        # at F_b + k; pads fill [F_b + c_b, F_b + f_b) with zero tiles
+        # referencing chunk 0.
+        final_of_pair = np.arange(len(pb_raw)) + (F_b - O_b)[pb_raw]
+        pair_block = np.repeat(np.arange(nb, dtype=np.int32),
+                               f_b.astype(np.int64))
+        if tail_pad:
+            pair_block = np.concatenate(
+                [pair_block, np.full(tail_pad, nb - 1, np.int32)])
+        pair_chunk = np.zeros(P_final, dtype=np.int32)
+        pair_chunk[final_of_pair] = pc_raw
+        tiles = np.zeros((P_final, R, C), dtype=vals.dtype)
+        tiles[final_of_pair[p_entry[in_dense]], i[in_dense] % R,
               j[in_dense] % C] = vals[in_dense]
 
-        # Coverage guarantee: the Pallas kernel only writes blocks it
-        # visits, so every otherwise-empty row block gets one dummy zero
-        # tile (chunk 0). Rare on matrices this format wins on.
-        present = np.zeros(nb, dtype=bool)
-        present[pb_raw] = True
-        missing = np.nonzero(~present)[0]
-        if len(missing):
-            pb_raw = np.concatenate([pb_raw, missing])
-            pc_raw = np.concatenate(
-                [pc_raw, np.zeros(len(missing), np.int64)])
-            tiles = np.concatenate(
-                [tiles, np.zeros((len(missing), R, C), tiles.dtype)])
-
-        if pairs_per_step == 2:
-            # Even-length pair runs: the two-pair kernel's output
-            # BlockSpec forbids a step spanning blocks (amortizing the
-            # ~191 ns per-step overhead — measured 22 % faster at +11 %
-            # zero-tile pad on the cop20k stand-in, probe15).
-            counts = np.bincount(pb_raw, minlength=nb)
-            odd = np.nonzero(counts % 2)[0]
-            if len(odd):
-                pb_raw = np.concatenate([pb_raw, odd])
-                pc_raw = np.concatenate(
-                    [pc_raw, np.zeros(len(odd), np.int64)])
-                tiles = np.concatenate(
-                    [tiles, np.zeros((len(odd), R, C), tiles.dtype)])
-        order = np.argsort(pb_raw, kind="stable")
-        pb_raw, pc_raw, tiles = pb_raw[order], pc_raw[order], tiles[order]
-        if pairs_per_step > 2:
-            # U-pair scratch-accumulator kernel: steps span blocks, only
-            # the TOTAL pair count must be a U multiple (zero tiles on
-            # the last block keep the ascending order).
-            pad = (-len(pb_raw)) % pairs_per_step
-            if pad:
-                pb_raw = np.concatenate(
-                    [pb_raw, np.full(pad, nb - 1, pb_raw.dtype)])
-                pc_raw = np.concatenate(
-                    [pc_raw, np.zeros(pad, np.int64)])
-                tiles = np.concatenate(
-                    [tiles, np.zeros((pad, R, C), tiles.dtype)])
-
         block_ptr = np.searchsorted(
-            pb_raw, np.arange(nb + 1)).astype(np.int32)
-        pair_chunk = pc_raw.astype(np.int32)
-        pair_block = pb_raw.astype(np.int32)
+            pair_block, np.arange(nb + 1)).astype(np.int32)
 
         spill = None
         if (~in_dense).any():

@@ -83,3 +83,32 @@ def test_native_default_in_read(tmp_path):
     write_matrix_market(path, csr)
     out = read_matrix_market(path)
     assert max_abs_error(out.to_dense(), csr.to_dense()) == 0.0
+
+
+def test_native_split_bit_identical_to_ml_dtypes():
+    """native/tilesplit.cpp must reproduce ml_dtypes' round-to-nearest-
+    even f32->bf16 split bit-for-bit, including specials (NaN, inf,
+    signed zero, subnormals) — the split planes feed the production
+    3-pass kernel, so a rounding divergence would silently change
+    results between machines with and without a compiler."""
+    import ml_dtypes
+    import numpy as np
+    import pytest
+
+    from sparsematrixmultiplicationmpi_tpu.formats.native_split import (
+        available, split_bf16_hilo_native,
+    )
+
+    if not available():
+        pytest.skip("no native compiler")
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((77, 130))
+         * np.exp(rng.uniform(-60, 60, (77, 130)))).astype(np.float32)
+    x[0, :7] = [np.nan, np.inf, -np.inf, 0.0, -0.0, 1e-40, -1e-40]
+    got = split_bf16_hilo_native(x)
+    hi = x.astype(ml_dtypes.bfloat16)
+    with np.errstate(invalid="ignore"):
+        lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    ref = np.concatenate([hi, lo], axis=-1)
+    np.testing.assert_array_equal(got.view(np.uint16),
+                                  ref.view(np.uint16))
