@@ -54,6 +54,10 @@ for job in $JOBS; do
       JOB_TIMEOUT=3000 run_job spillgather python scripts/exp_spill_gather.py ;;
     sweep)
       JOB_TIMEOUT=7200 run_job sweep python scripts/run_results_sweep.py ;;
+    models)
+      JOB_TIMEOUT=3600 run_job models python scripts/run_models_bench.py ;;
+    kernels)
+      JOB_TIMEOUT=3600 run_job kernels python scripts/test_tpu_kernels.py ;;
     bench)
       JOB_TIMEOUT=1800 run_job bench python bench.py ;;
     *)
