@@ -18,10 +18,15 @@ matrices = {
     "uniform_random_100k": random_csr(100_000, 100_000, 1_200_000, seed=13).astype(jnp.float32),
     "cop20k_like": cop20k_like().astype(jnp.float32),
 }
+# Failed jobs (r.error set) must print distinctly from numeric
+# mismatches: round 2's fem_banded/k=12/auto "MISMATCH" line was in fact
+# a tunnel-outage exception rendered by the old two-state format
+# (results/fem_banded_k12_postmortem.md).
 progress = lambda r: print(  # noqa: E731
     f"{r.matrix} k={r.k} {r.strategy} ({r.dtype}): "
-    f"{r.execution_time*1e3:.3f} ms "
-    f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}",
+    + (f"FAILED {r.error}" if r.error else
+       f"{r.execution_time*1e3:.3f} ms "
+       f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}"),
     flush=True)
 records = sweep(
     matrices, ks=[1, 6, 12, 32],
