@@ -5,6 +5,8 @@ Run from the repo root (background recommended; ~60-75 min on one v5e):
     nohup python scripts/run_results_sweep.py > /tmp/sweep.log 2>&1 &
 Resumes from results/tpu_v5e_sweep.csv if interrupted.
 """
+import sys
+
 import jax.numpy as jnp
 from sparsematrixmultiplicationmpi_tpu.bench.harness import sweep, write_json
 from sparsematrixmultiplicationmpi_tpu.bench.plots import render_all
@@ -28,28 +30,43 @@ progress = lambda r: print(  # noqa: E731
        f"{r.execution_time*1e3:.3f} ms "
        f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}"),
     flush=True)
-records = sweep(
-    matrices, ks=[1, 6, 12, 32],
-    strategy_names=["row", "column", "nnz", "auto", "library"],
+
+common = dict(
     device_counts=[1], warmup=1, iters=2, amortized=True,
-    comm_split=True,
     checkpoint_csv="results/tpu_v5e_sweep.csv",
     resume_from="results/tpu_v5e_sweep.csv",
     progress=progress,
     job_timeout=600.0,
+    # Dead-backend guard: a tunnel outage mid-sweep otherwise burns the
+    # full watchdog budget on every remaining job (round 2's outage
+    # would have cost ~16 h). 8 > one full strategy group, so a single
+    # pathological (matrix, k) cannot trigger it.
+    max_consecutive_failures=8,
 )
-# bf16 tier (VERDICT round-1 #9): the Auto strategy under the comparator's
-# documented bf16 tolerance, suffixed names so resume keys stay unique.
-records += sweep(
-    {f"{name}_bf16": csr for name, csr in matrices.items()
-     if name in ("cop20k_like", "fem_banded_100k", "powerlaw_100k")},
-    ks=[32], strategy_names=["auto"], device_counts=[1],
-    warmup=1, iters=2, amortized=True, dtype=jnp.bfloat16,
-    checkpoint_csv="results/tpu_v5e_sweep.csv",
-    resume_from="results/tpu_v5e_sweep.csv",
-    progress=progress,
-    job_timeout=600.0,
-)
+
+# On abort, render whatever the checkpoint holds and exit nonzero so the
+# queue re-waits for the tunnel (a later invocation resumes the rest and
+# retries failed rows).
+aborted = None
+records = []
+try:
+    records = sweep(
+        matrices, ks=[1, 6, 12, 32],
+        strategy_names=["row", "column", "nnz", "auto", "library"],
+        comm_split=True, **common,
+    )
+    # bf16 tier (VERDICT round-1 #9): the Auto strategy under the
+    # comparator's documented bf16 tolerance, suffixed names so resume
+    # keys stay unique.
+    records += sweep(
+        {f"{name}_bf16": csr for name, csr in matrices.items()
+         if name in ("cop20k_like", "fem_banded_100k", "powerlaw_100k")},
+        ks=[32], strategy_names=["auto"], dtype=jnp.bfloat16, **common,
+    )
+except RuntimeError as e:
+    aborted = str(e)
+    print(f"SWEEP ABORTED: {aborted}", flush=True)
+
 # The JSON/figures/report come from the FULL checkpoint CSV, not the
 # in-memory list: a resumed run's `records` only holds the jobs it ran
 # itself, which is how round 2 shipped a 20-record JSON disagreeing with
@@ -64,3 +81,5 @@ render_report(all_records, "results/REPORT.md",
               title="TPU v5e results — matrix x k x strategy sweep")
 print(f"{len(all_records)} records ({len(records)} new), "
       f"{len(paths)} figures + REPORT.md", flush=True)
+if aborted:
+    sys.exit(3)

@@ -247,7 +247,9 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           resume_from: Optional[str] = None,
           checkpoint_csv: Optional[str] = None,
           on_error: str = "record",
-          job_timeout: Optional[float] = None) -> List[BenchRecord]:
+          job_timeout: Optional[float] = None,
+          max_consecutive_failures: Optional[int] = None
+          ) -> List[BenchRecord]:
     """Cartesian sweep (matrix x k x strategy x devices) — the
     ``batch_test.sh:9-50`` analog, in-process instead of via PBS.
 
@@ -259,6 +261,13 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
     ``checkpoint_csv`` appends each record as it completes; ``resume_from``
     skips (matrix, k, strategy, devices) jobs already present in a previous
     CSV — together they give kill-and-resume semantics for long sweeps.
+
+    ``max_consecutive_failures`` aborts the sweep early once that many
+    jobs fail back-to-back — the dead-backend guard: when the remote
+    accelerator goes away mid-sweep every remaining job burns its full
+    ``job_timeout`` (round 2's outage would have cost ~16 h across the
+    remaining jobs). Completed rows are already checkpointed; resume finishes
+    the rest once the backend returns.
     """
     done = set()
     if resume_from:
@@ -293,6 +302,7 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
             ckpt.writeheader()
 
     records: List[BenchRecord] = []
+    consecutive_failures = 0
     try:
         for mat_name, csr in matrices.items():
             for k in ks:
@@ -345,6 +355,17 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                             ckpt_f.flush()
                         if progress:
                             progress(rec)
+                        consecutive_failures = (
+                            consecutive_failures + 1 if rec.error else 0)
+                        if (max_consecutive_failures is not None
+                                and consecutive_failures
+                                >= max_consecutive_failures):
+                            raise RuntimeError(
+                                f"{consecutive_failures} consecutive job "
+                                "failures — backend presumed dead; "
+                                "checkpointed rows are safe, resume "
+                                "retries the rest "
+                                f"(last: {rec.error})")
     finally:
         if ckpt:
             ckpt_f.close()

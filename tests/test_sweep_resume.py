@@ -164,3 +164,32 @@ def test_sweep_watchdog_kills_hung_job(tmp_path):
     assert hung.correct is False
     assert hung.execution_time != hung.execution_time  # NaN
     assert ok.correct is True
+
+
+def test_max_consecutive_failures_aborts_early(tmp_path):
+    """The dead-backend guard: once N jobs fail back-to-back the sweep
+    raises instead of burning the watchdog budget on every remaining job
+    (round 2's tunnel outage class). Checkpointed rows survive; a
+    successful job resets the counter."""
+    STRATEGIES["exploding"] = _Exploding
+    try:
+        mats = {"m": random_csr(30, 30, 150, seed=171)}
+        ckpt = str(tmp_path / "ck.csv")
+        with pytest.raises(RuntimeError, match="consecutive"):
+            sweep(mats, ks=[1, 2, 3], strategy_names=["exploding"],
+                  device_counts=[1], warmup=1, iters=1,
+                  checkpoint_csv=ckpt, max_consecutive_failures=2)
+        with open(ckpt) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2  # aborted at the second failure
+        assert all(r["error"] for r in rows)
+
+        # Interleaved successes keep the sweep alive: ks x [row,
+        # exploding] alternates ok/fail, so the threshold is never hit.
+        records = sweep(mats, ks=[1, 2, 3],
+                        strategy_names=["row", "exploding"],
+                        device_counts=[1], warmup=1, iters=1,
+                        max_consecutive_failures=2)
+        assert len(records) == 6
+    finally:
+        del STRATEGIES["exploding"]
