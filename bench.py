@@ -64,12 +64,30 @@ def wait_for_backend(max_wait_s: float = 1500.0,
         time.sleep(30)
 
 
+def _reexec_cpu() -> "int":
+    """Re-exec this script with the axon site dir stripped from
+    PYTHONPATH. Setting ``JAX_PLATFORMS=cpu`` in-process is NOT enough:
+    the axon sitecustomize registers the PJRT plugin at interpreter
+    start, and with the tunnel down its initialization hangs ``import
+    jax`` regardless of platform env vars (verified live during the
+    2026-08-18 outage: the pre-fix fallback hung >14 min at 0.7 % CPU)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ) or os.path.dirname(os.path.abspath(__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"  # skip the wait in the child
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env)
+    return proc.returncode
+
+
 def main() -> int:
-    if not wait_for_backend(
+    if not os.environ.get("BENCH_CPU_FALLBACK") and not wait_for_backend(
             max_wait_s=float(os.environ.get("BENCH_MAX_WAIT_S", "1500"))):
-        # Must be decided before jax initializes in THIS process.
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        return _reexec_cpu()
 
     import jax
     import jax.numpy as jnp

@@ -114,28 +114,44 @@ def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
     return _finish(wp, out_blocks, v_p)
 
 
+#: Sub-sublane fat vectors whose k is at least this wide are padded to
+#: the next multiple of 8 and routed through the Pallas kernel (<=33 %
+#: extra slab traffic at k=12 buys the fused kernel's fixed-cost
+#: advantage); narrower k stays on XLA, where gather traffic ~ C*k is
+#: small and the old measurements favored XLA (2.52/2.94 vs 3.41/4.13 ms
+#: at k=1/6, results/tpu_kernels.json). Re-tune against
+#: scripts/exp_kpad_windowed.py once the U-pair kernel lands.
+KPAD_MIN_K = 12
+
+
 def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
                        use_pallas: bool | None = None) -> jax.Array:
     """Padded-permuted-space SpMM, dispatching to the fused Pallas kernel
     on accelerator backends (``use_pallas=None`` auto-selects).
 
-    Sub-sublane fat vectors (k % 8 != 0) stay on the XLA path for BOTH
-    dtypes: Mosaic cannot lower the bf16 dots there at all (verification
-    failure at k=1 on v5e), and the f32 HIGHEST kernel compiles but runs
-    slower than the XLA gather+einsum (3.41/4.13/3.17 vs 2.52/2.94/2.88
-    ms at k=1/6/12 on the cop20k stand-in — results/tpu_kernels.json);
-    only at aligned k does the fused kernel win (3.33 vs 3.66 ms at
-    k=32)."""
+    Mosaic cannot lower the pair dots at k % 8 != 0 (bf16 verification
+    failure at k=1 on v5e), so sub-sublane fat vectors are zero-padded to
+    the next sublane multiple before the kernel and sliced after — for
+    auto-selection only when k >= ``KPAD_MIN_K`` (narrow k stays on the
+    XLA gather+einsum path, which beat even the unpadded f32 HIGHEST
+    kernel at k=1/6 — results/tpu_kernels.json); a forced
+    ``use_pallas=True`` always pads as needed."""
+    k = v_p.shape[1]
+    k_pad = (-k) % 8
     if use_pallas is None:
         try:
             use_pallas = jax.devices()[0].platform != "cpu"
         except Exception:
             use_pallas = False
-        if v_p.shape[1] % 8 != 0:
+        if k_pad and k < KPAD_MIN_K:
             use_pallas = False
     if use_pallas:
         from .pallas_windowed import spmm_windowed_pallas
 
+        if k_pad:
+            v_wide = jnp.concatenate(
+                [v_p, jnp.zeros((v_p.shape[0], k_pad), v_p.dtype)], axis=1)
+            return spmm_windowed_pallas(wp, v_wide)[:, :k]
         return spmm_windowed_pallas(wp, v_p)
     return spmm_windowed_xla(wp, v_p)
 

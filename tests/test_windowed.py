@@ -345,3 +345,27 @@ def test_windowed_multi_pair_many_flushes_per_step():
     got = np.asarray(wp.decode(_finish(wp, out, v_p)))
     rel = np.abs(got - oracle).max() / np.abs(oracle).max()
     assert rel < 5e-3
+
+
+@pytest.mark.parametrize("pps", [2, 8])
+@pytest.mark.parametrize("k", [1, 6, 12])
+def test_windowed_core_kpad_forced_pallas(pps, k):
+    """Sub-sublane k forced through the Pallas kernel: the core pads the
+    fat vector to the next sublane multiple (Mosaic cannot lower k%8!=0
+    dots) and slices the result back — padded columns must not leak and
+    the contraction must match the XLA path on the real columns."""
+    from sparsematrixmultiplicationmpi_tpu.ops.windowed import (
+        spmm_windowed_core,
+    )
+
+    csr = fem3d_csr(2000, 40000, seed=91)
+    wp = WindowedPairs.from_csr(
+        csr, pairs_per_step=pps, **SMALL).astype(np.float32)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], k, seed=92),
+                    dtype=jnp.float32)
+    vp = wp.encode(v)
+    ref = np.asarray(spmm_windowed_xla(wp, vp), dtype=np.float64)
+    got = np.asarray(spmm_windowed_core(wp, vp, use_pallas=True),
+                     dtype=np.float64)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-2)
