@@ -52,6 +52,8 @@ for job in $JOBS; do
       JOB_TIMEOUT=2400 run_job constants python scripts/check_cost_constants.py ;;
     spillgather)
       JOB_TIMEOUT=3000 run_job spillgather python scripts/exp_spill_gather.py ;;
+    kpad)
+      JOB_TIMEOUT=2400 run_job kpad python scripts/exp_kpad_windowed.py ;;
     sweep)
       JOB_TIMEOUT=7200 run_job sweep python scripts/run_results_sweep.py ;;
     models)
