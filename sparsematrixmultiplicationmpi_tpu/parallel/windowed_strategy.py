@@ -565,19 +565,32 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
     (multi kernel at pairs_per_step > 2, split3 3-pass for f32, plain
     otherwise), einsum + segment-sum on CPU (test) backends. Mosaic
     cannot lower the pair dots at k % 8 != 0 (``pallas_windowed.py``),
-    so unaligned k always takes the einsum path. ``v_full`` is whatever
+    so unaligned k >= ``KPAD_MIN_K`` is zero-padded to the next sublane
+    multiple around the kernel (the single-chip core's k-pad route);
+    narrower k takes the einsum path. ``v_full`` is whatever
     chunk-indexed window ``pc_blk`` lives in (the replicated padded
     vector, or the device's halo window)."""
+    from ..ops.windowed import KPAD_MIN_K
+
     mode = _force_pallas_mode()
     try:
         on_cpu = jax.devices()[0].platform == "cpu"
     except Exception:
         on_cpu = True
+    k_pad = (-k) % 8
     use_pallas = (not on_cpu or mode == "interpret") and mode != "xla" \
-        and k % 8 == 0
+        and (k % 8 == 0 or k >= KPAD_MIN_K)
     C = tiles_blk.shape[2]
     n_chunks = v_full.shape[0] // C
     has_split = tiles_split_blk is not None and tiles_split_blk.size
+    if use_pallas and k_pad:
+        v_wide = jnp.concatenate(
+            [v_full, jnp.zeros((v_full.shape[0], k_pad), v_full.dtype)],
+            axis=1)
+        out = _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk,
+                              ptr_blk, v_wide, nb_loc, R, k + k_pad,
+                              pairs_per_step)
+        return out[:, :k]
     if use_pallas:
         from ..ops.pallas_windowed import (
             windowed_matmul_multi, windowed_matmul_pallas,

@@ -329,3 +329,24 @@ def test_auto_mesh_routes_fem_to_windowed():
     enc, body, dec = auto.chain_parts(operand, mesh)
     out2 = np.asarray(dec(body(enc(v, operand), operand), operand))
     np.testing.assert_allclose(out2, oracle, atol=1e-8)
+
+
+@pytest.mark.parametrize("pairs_per_step", [2, 8])
+def test_windowed_row_pallas_interpret_kpad(monkeypatch, pairs_per_step):
+    """k=12 (>= KPAD_MIN_K, k%8!=0) routes through the Pallas kernels
+    with the fat vector zero-padded to 16 columns inside each device's
+    local contraction; padded columns must not leak into the result."""
+    monkeypatch.setenv("SPMM_FORCE_PALLAS", "interpret")
+    csr = fem3d_csr(1500, 30000, seed=217).astype(np.float32)
+    mesh = make_mesh(4)
+    strat = WindowedRowWise(block_rows=32, chunk_cols=128,
+                            pairs_per_step=pairs_per_step)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(
+        generate_fat_vector(csr.shape[1], 12, seed=218), jnp.float32)
+    out = np.asarray(strat.spmm(operand, v, mesh), dtype=np.float64)
+    assert out.shape == (csr.shape[0], 12)
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    assert np.isfinite(out).all()
+    scale = np.abs(oracle).max()
+    np.testing.assert_allclose(out / scale, oracle / scale, atol=2e-5)
