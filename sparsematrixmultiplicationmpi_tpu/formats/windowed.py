@@ -93,6 +93,14 @@ PRODUCTION_PAIRS_PER_STEP = 2
 #: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
 #: scatter-add alternative measured slower at 573 us).
 SPILL_RESTORE_S_PER_ROW = 3.5e-9
+#: Sub-sublane fat vectors (k % 8 != 0) at least this wide are zero-
+#: padded to the next sublane multiple and run through the Pallas kernel
+#: (Mosaic cannot lower unaligned dots); narrower k takes the XLA path.
+#: Consumed by ``ops/windowed.py::spmm_windowed_core`` and the
+#: distributed ``_local_windowed`` dispatch; the cost model below prices
+#: the padded slab traffic accordingly. Re-tune against
+#: scripts/exp_kpad_windowed.py when hardware numbers land.
+KPAD_MIN_K = 12
 
 
 def _split_planes(tiles):
@@ -131,8 +139,14 @@ def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
     The fixed cost is per GRID STEP (~2x191 ns at the two-pair kernel's
     fit), so U pairs per step divide it: per-tile overhead =
     ``TILE_OVERHEAD_S * 2 / pairs_per_step``. Refit against probe16 when
-    hardware numbers land."""
-    stream = (R * C * itemsize + C * k_nominal * 4) / TILE_STREAM_BW
+    hardware numbers land.
+
+    Sub-sublane ``k_nominal`` >= ``KPAD_MIN_K`` is priced at the padded
+    width the kernel actually streams (the k-pad route)."""
+    k_eff = k_nominal
+    if k_nominal % 8 and k_nominal >= KPAD_MIN_K:
+        k_eff = -(-k_nominal // 8) * 8
+    stream = (R * C * itemsize + C * k_eff * 4) / TILE_STREAM_BW
     return TILE_OVERHEAD_S * 2 / pairs_per_step + stream
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats.windowed import WindowedPairs
+from ..formats.windowed import KPAD_MIN_K, WindowedPairs
 from .ell import spmm_ell
 
 __all__ = ["spmm_windowed", "spmm_windowed_core", "spmm_windowed_xla"]
@@ -112,16 +112,6 @@ def spmm_windowed_xla(wp: WindowedPairs, v_p: jax.Array) -> jax.Array:
         prods, wp.pair_block, num_segments=nb, indices_are_sorted=True
     ).reshape(nb * R, k)
     return _finish(wp, out_blocks, v_p)
-
-
-#: Sub-sublane fat vectors whose k is at least this wide are padded to
-#: the next multiple of 8 and routed through the Pallas kernel (<=33 %
-#: extra slab traffic at k=12 buys the fused kernel's fixed-cost
-#: advantage); narrower k stays on XLA, where gather traffic ~ C*k is
-#: small and the old measurements favored XLA (2.52/2.94 vs 3.41/4.13 ms
-#: at k=1/6, results/tpu_kernels.json). Re-tune against
-#: scripts/exp_kpad_windowed.py once the U-pair kernel lands.
-KPAD_MIN_K = 12
 
 
 def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
