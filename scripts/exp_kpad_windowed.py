@@ -5,7 +5,7 @@
 multiple to unlock the fused Pallas kernel (Mosaic cannot lower
 unaligned dots). This measures both paths at k in {1, 6, 12} x
 pairs_per_step in {2, 8} on the cop20k-stats matrix and writes
-results/kpad_probe.json. Decision rule: set ``ops/windowed.py::
+results/kpad_probe.json. Decision rule: set ``formats/windowed.py::
 KPAD_MIN_K`` to the smallest k where the padded kernel wins.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 2400 \

@@ -31,6 +31,25 @@ progress = lambda r: print(  # noqa: E731
        f"{r.gnnz_per_s:.3f} Gnnz/s {'ok' if r.correct else 'MISMATCH'}"),
     flush=True)
 
+def backend_ok() -> bool:
+    """Health probe for the dead-backend guard: a tiny matmul whose
+    VALUE is fetched (the only reliable barrier through the tunnel),
+    under a watchdog because a dead tunnel HANGS rather than raises.
+    Distinguishes an outage from one persistently failing matrix — a
+    streak of job failures with a healthy backend keeps sweeping."""
+    from sparsematrixmultiplicationmpi_tpu.bench.harness import (
+        _run_with_timeout)
+
+    def probe():
+        x = jnp.ones((128, 128))
+        return float((x @ x).sum())
+
+    try:
+        return _run_with_timeout(probe, 180.0) > 0
+    except Exception:
+        return False
+
+
 common = dict(
     device_counts=[1], warmup=1, iters=2, amortized=True,
     checkpoint_csv="results/tpu_v5e_sweep.csv",
@@ -39,9 +58,11 @@ common = dict(
     job_timeout=600.0,
     # Dead-backend guard: a tunnel outage mid-sweep otherwise burns the
     # full watchdog budget on every remaining job (round 2's outage
-    # would have cost ~16 h). 8 > one full strategy group, so a single
-    # pathological (matrix, k) cannot trigger it.
+    # would have cost ~16 h). The streak only aborts when backend_ok
+    # also fails, so a pathological matrix (20 back-to-back per-job
+    # failures on a live chip) cannot abort-and-livelock the sweep.
     max_consecutive_failures=8,
+    backend_ok=backend_ok,
 )
 
 # On abort, render whatever the checkpoint holds and exit nonzero so the

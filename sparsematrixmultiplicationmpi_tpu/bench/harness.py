@@ -248,7 +248,8 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
           checkpoint_csv: Optional[str] = None,
           on_error: str = "record",
           job_timeout: Optional[float] = None,
-          max_consecutive_failures: Optional[int] = None
+          max_consecutive_failures: Optional[int] = None,
+          backend_ok=None,
           ) -> List[BenchRecord]:
     """Cartesian sweep (matrix x k x strategy x devices) — the
     ``batch_test.sh:9-50`` analog, in-process instead of via PBS.
@@ -267,7 +268,12 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
     accelerator goes away mid-sweep every remaining job burns its full
     ``job_timeout`` (round 2's outage would have cost ~16 h across the
     remaining jobs). Completed rows are already checkpointed; resume finishes
-    the rest once the backend returns.
+    the rest once the backend returns. A failure streak alone cannot
+    distinguish a dead backend from one persistently failing matrix
+    (which would otherwise abort the sweep and livelock resume on the
+    same rows); pass ``backend_ok`` — a zero-arg health probe returning
+    bool — and the guard only aborts when the probe ALSO fails,
+    resetting the streak when the backend answers.
     """
     done = set()
     if resume_from:
@@ -282,20 +288,47 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                     done.add((row["matrix"], int(row["k"]),
                               row["strategy"], int(row["devices"])))
 
+    # This sweep's job-key universe, under BOTH the caller's alias and
+    # the canonical strategy name (rows are recorded canonically when
+    # construction succeeds, under the alias when it doesn't).
+    job_names = {}
+    for sname in strategy_names:
+        names = {sname}
+        try:
+            names.add(get_strategy(sname).name)
+        except Exception:
+            pass
+        job_names[sname] = names
+    retry_keys = {
+        (mat_name, int(k), nm, int(p))
+        for mat_name in matrices for k in ks for p in device_counts
+        for sname in strategy_names for nm in job_names[sname]
+    }
+
     ckpt = None
     if checkpoint_csv:
         import csv as _csv
         import os
 
-        new_file = not (resume_from == checkpoint_csv and done)
+        # Keyed on file existence, NOT on `done` being non-empty: a
+        # checkpoint holding only failed rows has an empty done-set but
+        # must still be rewritten-and-appended, not truncated.
+        new_file = not (resume_from == checkpoint_csv
+                        and os.path.exists(checkpoint_csv))
         if not new_file:
             # Rewrite the checkpoint before appending: (a) schema
             # migration — an older build's header (e.g. pre-'error')
-            # would misalign appended rows; (b) drop failed rows, which
-            # resume retries — otherwise the retry would duplicate the
-            # job key.
+            # would misalign appended rows; (b) drop failed rows this
+            # sweep RETRIES — otherwise the retry would duplicate the
+            # job key. Failed rows outside this sweep's job set are
+            # kept: a sibling sweep sharing the checkpoint (e.g. the
+            # bf16 tier) must not erase the f32 tier's failure records.
             old = read_csv(checkpoint_csv)
-            write_csv(checkpoint_csv, [r for r in old if not r.error])
+            write_csv(checkpoint_csv, [
+                r for r in old
+                if not r.error
+                or (r.matrix, r.k, r.strategy, r.devices) not in retry_keys
+            ])
         ckpt_f = open(checkpoint_csv, "w" if new_file else "a", newline="")
         ckpt = _csv.DictWriter(ckpt_f, fieldnames=CSV_COLUMNS)
         if new_file:
@@ -321,6 +354,7 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                         # construction raised before the guard) and the
                         # row was silently dropped along with every job
                         # after it (VERDICT r2 Missing #3 / Weak #4).
+                        sname_canon = sname
                         try:
                             # Auto's cost model is k-aware (the COO
                             # path's product materialization scales with
@@ -328,6 +362,7 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                             strategy = (get_strategy(sname, k_nominal=k)
                                         if sname == "auto"
                                         else get_strategy(sname))
+                            sname_canon = strategy.name
                             if (mat_name, k, strategy.name, p) in done:
                                 continue
                             rec = _run_with_timeout(
@@ -345,8 +380,12 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                         except Exception as e:
                             if on_error == "raise":
                                 raise
+                            # Canonical strategy name when construction
+                            # succeeded — otherwise failed rows would
+                            # split the strategy into two labels in the
+                            # artifacts ('row' vs 'row_wise').
                             rec = _failed_record(
-                                csr, k, sname, p, mat_name, dtype,
+                                csr, k, sname_canon, p, mat_name, dtype,
                                 error=f"{type(e).__name__}: {e}"[:500],
                             )
                         records.append(rec)
@@ -360,6 +399,13 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                         if (max_consecutive_failures is not None
                                 and consecutive_failures
                                 >= max_consecutive_failures):
+                            if backend_ok is not None and backend_ok():
+                                # Backend answers — the streak is a
+                                # persistently failing job class, not an
+                                # outage: keep sweeping (rows stay
+                                # recorded as failures).
+                                consecutive_failures = 0
+                                continue
                             raise RuntimeError(
                                 f"{consecutive_failures} consecutive job "
                                 "failures — backend presumed dead; "

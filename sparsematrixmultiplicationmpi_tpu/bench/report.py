@@ -66,6 +66,7 @@ def render_report(records: Sequence[BenchRecord],
         "jobs match the host float64 oracle"
         + (f" — {len(bad)} MISMATCH/failed: "
            + ", ".join(f"{r.matrix}/k={r.k}/{r.strategy}" for r in bad[:10])
+           + (f", and {len(bad) - 10} more" if len(bad) > 10 else "")
            if bad else " (0 errors)."),
         "",
     ]
@@ -79,6 +80,9 @@ def render_report(records: Sequence[BenchRecord],
             lines.append(
                 f"- `{r.matrix}/k={r.k}/{r.strategy}/p={r.devices}`: "
                 f"{r.error}")
+        if len(errored) > 20:
+            lines.append(f"- ... and {len(errored) - 20} more "
+                         "(full list in the CSV's `error` column)")
         lines.append("")
 
     matrices = sorted({r.matrix for r in records})

@@ -49,13 +49,18 @@ def _kernel(cols_ref, vals_ref, v_ref, out_ref, stage, sem):
     TW = T * W
 
     def issue(step, slot):
-        # Issue T*W row DMAs for grid step `step` into stage[slot].
+        # Issue T*W row DMAs for grid step `step` into stage[slot],
+        # signalling that slot's OWN semaphore — a single shared
+        # semaphore would let step s+1's early completions satisfy step
+        # s's waits and the reduce below would read rows still in
+        # flight (completion order across independent HBM rows is not
+        # guaranteed).
         base = step * TW
         for i in range(TW):
             pltpu.make_async_copy(
                 v_ref.at[cols_ref[base + i]],
                 stage.at[slot, i],
-                sem,
+                sem.at[slot],
             ).start()
 
     @pl.when(s == 0)
@@ -66,13 +71,14 @@ def _kernel(cols_ref, vals_ref, v_ref, out_ref, stage, sem):
     def _():
         issue(s + 1, (s + 1) % 2)
 
-    # Wait for THIS step's copies (issued last step, same semaphore:
-    # each wait consumes one completion; total outstanding per step is
-    # exactly TW for this slot + TW in flight for the next).
+    # Wait for THIS step's copies (issued last step into this slot's
+    # dedicated semaphore; the next step's in-flight copies signal the
+    # other slot's semaphore and cannot release these waits).
     slot = s % 2
     for i in range(TW):
         pltpu.make_async_copy(
-            v_ref.at[cols_ref[s * TW + i]], stage.at[slot, i], sem,
+            v_ref.at[cols_ref[s * TW + i]], stage.at[slot, i],
+            sem.at[slot],
         ).wait()
 
     rows = stage[slot].reshape(T, W, 128)
@@ -106,7 +112,7 @@ def ell_gather_rows_pallas(cols: jax.Array, vals: jax.Array,
         out_specs=pl.BlockSpec((T, 128), lambda s, c: (s, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, T * W, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

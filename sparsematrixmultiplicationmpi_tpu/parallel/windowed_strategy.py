@@ -459,6 +459,7 @@ class WindowedRowWise(Strategy):
             mesh, ax, gather_result, has_spill, has_tail, has_split, R,
             nb_loc, m, operand.pairs_per_step, halo,
             operand.halo_left, operand.halo_right, C,
+            _force_pallas_mode(),
             operand.tiles,
             operand.tiles_split if has_split else jnp.zeros(
                 (0, 0, 0), jnp.bfloat16),
@@ -560,7 +561,7 @@ def _force_pallas_mode() -> Optional[str]:
 
 
 def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
-                    v_full, nb_loc, R, k, pairs_per_step):
+                    v_full, nb_loc, R, k, pairs_per_step, mode):
     """Per-device contraction: Pallas block-run kernel on accelerators
     (multi kernel at pairs_per_step > 2, split3 3-pass for f32, plain
     otherwise), einsum + segment-sum on CPU (test) backends. Mosaic
@@ -569,10 +570,13 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
     multiple around the kernel (the single-chip core's k-pad route);
     narrower k takes the einsum path. ``v_full`` is whatever
     chunk-indexed window ``pc_blk`` lives in (the replicated padded
-    vector, or the device's halo window)."""
+    vector, or the device's halo window). ``mode`` is the
+    ``SPMM_FORCE_PALLAS`` override, threaded in as a STATIC jit arg of
+    the caller — reading the env var here at trace time would bake it
+    into the compiled dispatch without being part of the cache key, so
+    flipping it mid-process would silently reuse the old path."""
     from ..ops.windowed import KPAD_MIN_K
 
-    mode = _force_pallas_mode()
     try:
         on_cpu = jax.devices()[0].platform == "cpu"
     except Exception:
@@ -589,7 +593,7 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
             axis=1)
         out = _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk,
                               ptr_blk, v_wide, nb_loc, R, k + k_pad,
-                              pairs_per_step)
+                              pairs_per_step, mode)
         return out[:, :k]
     if use_pallas:
         from ..ops.pallas_windowed import (
@@ -634,9 +638,10 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
     return out.reshape(nb_loc * R, k)
 
 
-@partial(jax.jit, static_argnums=tuple(range(14)))
+@partial(jax.jit, static_argnums=tuple(range(15)))
 def _windowed_row_spmm(mesh, ax, gather, has_spill, has_tail, has_split,
                        R, nb_loc, m, pairs_per_step, halo, h_l, h_r, C,
+                       force_mode,
                        tiles, tiles_split, pair_chunk, pair_pos,
                        block_ptr, spill_cols, spill_vals, tv, tr, tc,
                        v_pad):
@@ -655,7 +660,7 @@ def _windowed_row_spmm(mesh, ax, gather, has_spill, has_tail, has_split,
             v_full = v_in
         out = _local_windowed(
             tiles_blk, ts_blk if has_split else None, pc_blk, pos_blk,
-            ptr_blk, v_full, nb_loc, R, k, pairs_per_step
+            ptr_blk, v_full, nb_loc, R, k, pairs_per_step, force_mode
         ).astype(v_in.dtype)
         if has_spill:
             gathered = take_rows(v_full, scols_blk.reshape(-1))

@@ -166,6 +166,85 @@ def test_sweep_watchdog_kills_hung_job(tmp_path):
     assert ok.correct is True
 
 
+def test_sibling_sweep_keeps_other_tiers_failures(tmp_path):
+    """The checkpoint rewrite on resume drops failed rows ONLY for jobs
+    this sweep retries: a sibling sweep sharing the checkpoint (the
+    results script's bf16 tier after the f32 tier) must not erase the
+    other tier's failure records — otherwise failures become invisible
+    in the final CSV/JSON/REPORT, the exact round-2 class again."""
+    STRATEGIES["exploding"] = _Exploding
+    try:
+        path = str(tmp_path / "ckpt.csv")
+        mats = {"m": random_csr(30, 30, 150, seed=175)}
+        sweep(mats, ks=[2], strategy_names=["exploding"],
+              device_counts=[1], warmup=1, iters=1, checkpoint_csv=path)
+        # Sibling sweep: different matrix name, same shared checkpoint.
+        mats2 = {"m2": random_csr(30, 30, 150, seed=176)}
+        sweep(mats2, ks=[2], strategy_names=["row"], device_counts=[1],
+              warmup=1, iters=1, resume_from=path, checkpoint_csv=path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        by_mat = {r["matrix"]: r for r in rows}
+        assert "boom" in by_mat["m"]["error"]  # failure survived
+        assert by_mat["m2"]["strategy"] == "row_wise"
+
+        # A sweep that DOES cover the failed job drops the stale failed
+        # row and records the retry exactly once (no duplicate keys).
+        sweep(mats, ks=[2], strategy_names=["exploding"],
+              device_counts=[1], warmup=1, iters=1,
+              resume_from=path, checkpoint_csv=path)
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        m_rows = [r for r in rows if r["matrix"] == "m"]
+        assert len(m_rows) == 1 and "boom" in m_rows[0]["error"]
+    finally:
+        del STRATEGIES["exploding"]
+
+
+class _ExplodingAliased(_Exploding):
+    name = "exploding_canonical"
+
+
+def test_failed_row_uses_canonical_strategy_name(tmp_path):
+    """Failed rows must carry the same canonical strategy name as
+    successful ones ('row_wise', not the sweep alias 'row') so one
+    strategy never splits into two labels in the artifacts."""
+    STRATEGIES["expl_alias"] = _ExplodingAliased
+    try:
+        mats = {"m": random_csr(30, 30, 150, seed=177)}
+        records = sweep(mats, ks=[2], strategy_names=["expl_alias"],
+                        device_counts=[1], warmup=1, iters=1)
+        assert records[0].strategy == "exploding_canonical"
+        assert "boom" in records[0].error
+    finally:
+        del STRATEGIES["expl_alias"]
+
+
+def test_backend_ok_gates_the_dead_backend_guard(tmp_path):
+    """A failure streak with a HEALTHY backend (backend_ok() True) must
+    keep sweeping — N consecutive failures alone cannot distinguish an
+    outage from one persistently failing matrix, and aborting on the
+    latter livelocks resume on the same rows forever."""
+    STRATEGIES["exploding"] = _Exploding
+    try:
+        mats = {"m": random_csr(30, 30, 150, seed=178)}
+        records = sweep(mats, ks=[1, 2, 3], strategy_names=["exploding"],
+                        device_counts=[1], warmup=1, iters=1,
+                        max_consecutive_failures=2,
+                        backend_ok=lambda: True)
+        assert len(records) == 3  # survived past the threshold
+        assert all(r.error for r in records)
+
+        # Dead backend (probe fails): abort at the threshold as before.
+        with pytest.raises(RuntimeError, match="consecutive"):
+            sweep(mats, ks=[1, 2, 3], strategy_names=["exploding"],
+                  device_counts=[1], warmup=1, iters=1,
+                  max_consecutive_failures=2,
+                  backend_ok=lambda: False)
+    finally:
+        del STRATEGIES["exploding"]
+
+
 def test_max_consecutive_failures_aborts_early(tmp_path):
     """The dead-backend guard: once N jobs fail back-to-back the sweep
     raises instead of burning the watchdog budget on every remaining job

@@ -146,6 +146,37 @@ def test_windowed_row_pallas_interpret_unaligned_k(monkeypatch):
     np.testing.assert_allclose(out / scale, oracle / scale, atol=2e-5)
 
 
+def test_force_pallas_mode_is_a_jit_cache_key(monkeypatch):
+    """Flipping SPMM_FORCE_PALLAS mid-process must retrace the dispatch:
+    the mode is threaded into _windowed_row_spmm as a STATIC arg, so two
+    calls with identical operand shapes but different modes get distinct
+    cache entries (ADVICE-class hazard: an env read at trace time would
+    silently reuse the previously compiled path)."""
+    from sparsematrixmultiplicationmpi_tpu.parallel.windowed_strategy import (
+        _windowed_row_spmm,
+    )
+
+    csr = fem3d_csr(800, 16000, seed=219).astype(np.float32)
+    mesh = make_mesh(2)
+    strat = WindowedRowWise(block_rows=32, chunk_cols=128)
+    operand = strat.prepare(csr, mesh)
+    v = jnp.asarray(
+        generate_fat_vector(csr.shape[1], 8, seed=220), jnp.float32)
+    oracle = spmm_host_f64(csr, np.asarray(v))
+    scale = np.abs(oracle).max()
+
+    monkeypatch.setenv("SPMM_FORCE_PALLAS", "xla")
+    out_xla = np.asarray(strat.spmm(operand, v, mesh), dtype=np.float64)
+    size_after_xla = _windowed_row_spmm._cache_size()
+
+    monkeypatch.setenv("SPMM_FORCE_PALLAS", "interpret")
+    out_pl = np.asarray(strat.spmm(operand, v, mesh), dtype=np.float64)
+    assert _windowed_row_spmm._cache_size() == size_after_xla + 1
+
+    np.testing.assert_allclose(out_xla / scale, oracle / scale, atol=2e-5)
+    np.testing.assert_allclose(out_pl / scale, oracle / scale, atol=2e-5)
+
+
 def test_windowed_row_chain_honors_gather_flag():
     """ADVICE r2: chain_parts ignored gather_result. With the flag off
     the body output must be row-sharded (permuted space), and chaining
