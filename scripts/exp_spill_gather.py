@@ -6,8 +6,10 @@ The spill path's binding constant is XLA's ~4.8 ns per gathered row
 ell_gather_rows_pallas`` (T*W in-flight row DMAs per grid step,
 double-buffered) on the cop20k-stats spill geometry across
 rows_per_step, against the XLA take+einsum on identical operands.
-Decision rule (VERDICT r2 #5): adopt if < 2.5 ns/row, else record the
-negative result with numbers in results/spill_gather_probe.json.
+Decision rule (VERDICT r2 #5): flip ``ops/ell.py::SPILL_DMA_GATHER``
+if < 2.5 ns/row, else record the negative result with numbers in
+results/spill_gather_probe.json. The production wiring (``spmm_ell``'s
+dma_gather route) is measured end-to-end at the bottom.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 \
        python scripts/exp_spill_gather.py
@@ -20,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsematrixmultiplicationmpi_tpu.ops.ell import spmm_ell
 from sparsematrixmultiplicationmpi_tpu.ops.pallas_gather import (
     ell_gather_rows_pallas,
 )
@@ -86,9 +89,36 @@ for Rt, W in cases:
             row["pallas"][str(T)] = msg
     results.append(row)
 
+# End-to-end A/B through the production spmm_ell wiring (includes the
+# 128-lane v pad + output slice the kernel-only numbers exclude).
+from sparsematrixmultiplicationmpi_tpu.formats.matrix import ELL
+
+prod = {}
+Rt, W = 23_040, 8
+cols = rng.integers(0, n, (Rt, W)).astype(np.int32)
+vals = rng.uniform(-1, 1, (Rt, W)).astype(np.float32)
+ell = ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals), shape=(Rt, n))
+ell = jax.device_put(ell, dev)
+for label, dma in (("xla", False), ("dma", True)):
+    def body(v_, e_, dma=dma):
+        out = spmm_ell(e_, v_, unpad=False, dma_gather=dma)
+        return jax.lax.dynamic_update_slice(
+            v_, out[:1] * 1e-30 + v_[:1], (0, 0))
+
+    try:
+        tm, _ = measure_amortized(body, v32, ell, inner=10, warmup=1,
+                                  iters=3)
+        ns = tm.seconds_per_iter / (Rt * W) * 1e9
+        print(f"spmm_ell {label}: {ns:6.2f} ns/row", flush=True)
+        prod[label] = round(ns, 3)
+    except Exception as e:
+        prod[label] = f"{type(e).__name__}: {e}"[:200]
+        print(f"spmm_ell {label}: FAILED {prod[label]}", flush=True)
+
 out_path = Path(__file__).resolve().parent.parent / "results" / \
     "spill_gather_probe.json"
 out_path.write_text(json.dumps(
-    {"device_kind": dev.device_kind, "k": k, "results": results},
+    {"device_kind": dev.device_kind, "k": k, "results": results,
+     "spmm_ell_end_to_end": prod},
     indent=2))
 print(json.dumps(results))

@@ -24,6 +24,15 @@ from ..formats.matrix import ELL, BucketedELL
 
 __all__ = ["spmm_ell", "spmm_bucketed", "take_rows"]
 
+#: Route ELL planes through the explicit-DMA Pallas gather kernel
+#: (``ops/pallas_gather.py``) instead of XLA's take. Flip to True only
+#: if ``scripts/exp_spill_gather.py`` measures it beating the ~4.8
+#: ns/row XLA gather on hardware (VERDICT r2 #5 decision rule) — the
+#: production wiring below is interpret-tested either way. Read at
+#: trace time: tests overriding it must use fresh shapes or
+#: ``jax.clear_caches()``.
+SPILL_DMA_GATHER = False
+
 
 def take_rows(v: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather tuned for TPU: fat vectors narrower than 8 columns are
@@ -40,13 +49,53 @@ def take_rows(v: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(v, idx, axis=0)
 
 
-def spmm_ell(ell: ELL, v: jax.Array, *, unpad: bool = True) -> jax.Array:
-    """SpMM over a single ELL block. Returns ``(m, k)`` (or padded rows)."""
+def _spmm_ell_dma(ell: ELL, v: jax.Array) -> jax.Array:
+    """ELL plane via ``ell_gather_rows_pallas``: rows padded to the
+    kernel's step multiple, fat vector padded to 128 lanes (the v5e DMA
+    lane-alignment contract), result sliced back. Runs in interpret
+    mode on CPU backends so differential tests cover the real kernel
+    contract."""
+    from .pallas_gather import ell_gather_rows_pallas
+
     mp, w = ell.cols.shape
     k = v.shape[1]
-    gathered = take_rows(v, ell.cols.reshape(-1))
-    gathered = gathered.reshape(mp, w, k)
-    out = jnp.sum(ell.vals[:, :, None].astype(v.dtype) * gathered, axis=1)
+    if k > 128:
+        raise ValueError(f"DMA gather supports k <= 128, got {k}")
+    try:
+        interp = jax.devices()[0].platform == "cpu"
+    except Exception:
+        interp = True
+    T = 8
+    pad_r = (-mp) % T
+    cols, vals = ell.cols, ell.vals
+    if pad_r:
+        cols = jnp.pad(cols, ((0, pad_r), (0, 0)))
+        vals = jnp.pad(vals, ((0, pad_r), (0, 0)))
+    v128 = v.astype(jnp.float32)
+    if k < 128:
+        v128 = jnp.pad(v128, ((0, 0), (0, 128 - k)))
+    out = ell_gather_rows_pallas(cols, vals, v128, rows_per_step=T,
+                                 interpret=interp)
+    return out[:mp, :k].astype(v.dtype)
+
+
+def spmm_ell(ell: ELL, v: jax.Array, *, unpad: bool = True,
+             dma_gather: bool | None = None) -> jax.Array:
+    """SpMM over a single ELL block. Returns ``(m, k)`` (or padded rows).
+
+    ``dma_gather=None`` auto-selects per ``SPILL_DMA_GATHER``; pass
+    True/False to force either path (the A/B measurement hook)."""
+    mp, w = ell.cols.shape
+    k = v.shape[1]
+    if dma_gather is None:
+        dma_gather = SPILL_DMA_GATHER and 0 < w and k <= 128
+    if dma_gather:
+        out = _spmm_ell_dma(ell, v)
+    else:
+        gathered = take_rows(v, ell.cols.reshape(-1))
+        gathered = gathered.reshape(mp, w, k)
+        out = jnp.sum(
+            ell.vals[:, :, None].astype(v.dtype) * gathered, axis=1)
     if unpad:
         out = out[: ell.shape[0]]
     return out

@@ -108,3 +108,26 @@ def test_ell_gather_rows_pallas_rejects_bad_shapes():
         ell_gather_rows_pallas(
             jnp.zeros((16, 2), jnp.int32), jnp.zeros((16, 2)),
             jnp.zeros((16, 32), jnp.float32), rows_per_step=8)
+
+
+def test_spmm_ell_dma_gather_route_matches_take():
+    """Production wiring for the DMA-gather spill route (gated off by
+    default, ops/ell.py::SPILL_DMA_GATHER): forced on, it must match the
+    XLA take path bit-for-tolerance on padded ELL planes at both
+    sublane-odd rows and k < 128."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import ELL
+    from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+    from sparsematrixmultiplicationmpi_tpu.ops.ell import spmm_ell
+
+    csr = random_csr(101, 90, 700, seed=31).astype(np.float32)  # 101 % 8 != 0
+    ell = ELL.from_csr(csr)
+    for k in (5, 32):
+        rng = np.random.default_rng(k)
+        v = jnp.asarray(rng.uniform(-1, 1, (90, k)).astype(np.float32))
+        ref = np.asarray(spmm_ell(ell, v, dma_gather=False))
+        got = np.asarray(spmm_ell(ell, v, dma_gather=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
