@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from sparsematrixmultiplicationmpi_tpu.bench.harness import sweep, write_json
 from sparsematrixmultiplicationmpi_tpu.bench.plots import render_all
 from sparsematrixmultiplicationmpi_tpu.io.generate import (
-    banded_csr, cage4_like, cop20k_like, powerlaw_csr, random_csr)
+    banded_csr, cage4_like, cop20k_like, dc1_like, powerlaw_csr,
+    random_csr, roadnet_like)
 
 matrices = {
     "cage4_like": cage4_like().astype(jnp.float32),
@@ -83,6 +84,17 @@ try:
         {f"{name}_bf16": csr for name, csr in matrices.items()
          if name in ("cop20k_like", "fem_banded_100k", "powerlaw_100k")},
         ks=[32], strategy_names=["auto"], dtype=jnp.bfloat16, **common,
+    )
+    # Matrix-impact tier (reference analog: the k=6 sweep over 6
+    # structurally distinct matrices, report/425500_Report.tex:673-692 /
+    # results/analysis.csv): the two families the main tier lacks —
+    # planar road network (barely-scales regime) and circuit hubs
+    # (load-imbalance regime).
+    records += sweep(
+        {"roadnet_like": roadnet_like().astype(jnp.float32),
+         "dc1_like": dc1_like().astype(jnp.float32)},
+        ks=[6], strategy_names=["row", "column", "nnz", "auto", "library"],
+        comm_split=True, **common,
     )
 except RuntimeError as e:
     aborted = str(e)

@@ -126,6 +126,10 @@ def _load_matrix(spec: str, dtype):
             "random": lambda: gen.random_csr(100_000, 100_000, 2_000_000),
             "powerlaw": lambda: gen.powerlaw_csr(100_000, 100_000, 2_000_000),
             "banded": lambda: gen.banded_csr(100_000, 100, 20),
+            "roadnet": lambda: gen.roadnet_like(),
+            "roadnet_small": lambda: gen.roadnet_like(scale=0.1),
+            "dc1": lambda: gen.dc1_like(),
+            "dc1_small": lambda: gen.dc1_like(scale=0.1),
         }
         if name not in factories:
             raise SystemExit(

@@ -30,8 +30,11 @@ __all__ = [
     "random_csr",
     "banded_csr",
     "powerlaw_csr",
+    "fem3d_csr",
     "cop20k_like",
     "cage4_like",
+    "roadnet_like",
+    "dc1_like",
 ]
 
 
@@ -200,3 +203,109 @@ def cage4_like(dtype=np.float64) -> CSR:
     idx = np.argsort(score)[:49]
     vals = rng.uniform(0.1, 1.0, size=49).astype(dtype)
     return expand_and_build_csr(rows[idx], cols[idx], vals, m, m, False)
+
+
+def roadnet_like(seed: int = 0, dtype=np.float64,
+                 scale: float = 1.0) -> CSR:
+    """Synthetic stand-in for roadNet-PA: planar road-network adjacency.
+
+    The real matrix (SuiteSparse ``SNAP/roadNet-PA``, the reference's
+    matrix-impact sweep entry at ``report/425500_Report.tex:673-692`` and
+    ``results/analysis.csv`` — 1,090,920^2, ~1.54 M nnz, symmetric
+    pattern) is the regime where the reference's row-wise strategy
+    "barely scales" (best 0.679 s @ 4 cores vs 0.717 s serial,
+    BASELINE.md): avg degree ~2.8, no skew, and *geometric locality* —
+    a road network is near-planar, so a bandwidth-reducing ordering
+    exists with bandwidth O(sqrt(m)), the defining property this twin
+    preserves. Model: nodes on an s x s lattice, grid edges kept with
+    the probability matching the target degree, a small diagonal
+    shortcut fraction for irregularity, then node labels shuffled (road
+    files are not in grid order; recovering locality is RCM's job, as
+    for the real file). Values uniform(-1, 1), symmetric, no diagonal
+    (SNAP adjacency semantics).
+    """
+    rng = np.random.default_rng(seed)
+    m = max(int(1_090_920 * scale), 16)
+    target_edges = max(int(1_541_898 * scale) // 2, m // 2)
+    s = int(np.ceil(np.sqrt(m)))
+    ids = np.arange(m, dtype=np.int64)
+    x, y = ids % s, ids // s
+    # Candidate undirected edges: right, down, and the two diagonals
+    # (diagonals model ramps/bridges that break pure grid planarity).
+    cand_i, cand_j, cand_w = [], [], []
+    for dx, dy, w in ((1, 0, 1.0), (0, 1, 1.0), (1, 1, 0.08),
+                      (-1, 1, 0.08)):
+        nx, ny = x + dx, y + dy
+        ok = (nx >= 0) & (nx < s) & (ny < s)
+        nb = nx + ny * s
+        ok &= nb < m
+        cand_i.append(ids[ok])
+        cand_j.append(nb[ok])
+        cand_w.append(np.full(int(ok.sum()), w))
+    ci = np.concatenate(cand_i)
+    cj = np.concatenate(cand_j)
+    cw = np.concatenate(cand_w)
+    # Weighted decimation to the target edge count.
+    if target_edges < len(ci):
+        keep = rng.uniform(size=len(ci)) ** (1.0 / np.maximum(cw, 1e-9))
+        idx = np.argpartition(keep, -target_edges)[-target_edges:]
+        ci, cj = ci[idx], cj[idx]
+    relabel = rng.permutation(m).astype(np.int64)
+    ci, cj = relabel[ci], relabel[cj]
+    rows = np.concatenate([ci, cj])
+    cols = np.concatenate([cj, ci])
+    ev = rng.uniform(-1.0, 1.0, size=len(ci)).astype(dtype)
+    vals = np.concatenate([ev, ev])
+    return expand_and_build_csr(rows, cols, vals, m, m, symmetric=False)
+
+
+def dc1_like(seed: int = 0, dtype=np.float64, scale: float = 1.0) -> CSR:
+    """Synthetic stand-in for dc1: circuit-simulation matrix with a few
+    ultra-dense net rows/columns.
+
+    The real matrix (SuiteSparse ``IBM_EDA/dc1``, reference matrix-impact
+    sweep, ``results/analysis.csv`` — 116,835^2, 766,396 nnz) is a DC
+    operating-point circuit matrix: the vast majority of rows are 2-6
+    entry device stamps, but a handful of global nets (ground / supply
+    rails) touch a large fraction of all nodes, producing near-dense
+    rows AND columns — the structure where per-row partitioners
+    load-imbalance catastrophically and the reference's non-zero-element
+    strategy was its best performer at low core counts (0.0878 s @ 4,
+    BASELINE.md). Model: symmetric random device graph at the matched
+    avg degree, plus ``n_hubs`` rail nets each coupled to a uniform
+    ~1.5 % of all nodes, plus the full diagonal (SPD-style stamps keep
+    every diagonal entry). Hub degree fraction is a documented modeling
+    assumption (per-row stats of the real file are not published in the
+    reference).
+    """
+    rng = np.random.default_rng(seed)
+    m = max(int(116_835 * scale), 64)
+    target_nnz = max(int(766_396 * scale), m)
+    n_hubs = max(int(round(4 * max(scale, 0.05))), 2)
+    hub_frac = 0.015
+    # Floor keeps hubs dominant at smoke-test scales (a rail net is
+    # orders of magnitude denser than a device stamp at ANY size).
+    hub_deg = min(m - 1, max(int(m * hub_frac), 64))
+    hub_edges_i, hub_edges_j = [], []
+    hubs = rng.choice(m, size=n_hubs, replace=False)
+    for h in hubs:
+        nb = rng.choice(m, size=hub_deg, replace=False)
+        nb = nb[nb != h]
+        hub_edges_i.append(np.full(nb.size, h, dtype=np.int64))
+        hub_edges_j.append(nb.astype(np.int64))
+    hi = np.concatenate(hub_edges_i)
+    hj = np.concatenate(hub_edges_j)
+    # Device stamps: remaining budget as random sparse symmetric edges.
+    budget = max(target_nnz - m - 2 * len(hi), 0) // 2
+    di = rng.integers(0, m, size=budget)
+    dj = rng.integers(0, m, size=budget)
+    ok = di != dj
+    di, dj = di[ok], dj[ok]
+    ei = np.concatenate([hi, di])
+    ej = np.concatenate([hj, dj])
+    rows = np.concatenate([ei, ej, np.arange(m, dtype=np.int64)])
+    cols = np.concatenate([ej, ei, np.arange(m, dtype=np.int64)])
+    ev = rng.uniform(-1.0, 1.0, size=len(ei)).astype(dtype)
+    dv = rng.uniform(0.5, 2.0, size=m).astype(dtype)  # diagonal dominance
+    vals = np.concatenate([ev, ev, dv])
+    return expand_and_build_csr(rows, cols, vals, m, m, symmetric=False)

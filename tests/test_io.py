@@ -265,3 +265,46 @@ def test_loader_real_cage4():
         dense = np.asarray(csr.to_dense())
         np.testing.assert_allclose(dense.sum(axis=1), np.ones(9),
                                    atol=1e-12)
+
+
+def test_roadnet_like_structure():
+    """roadNet-PA twin (reference matrix-impact sweep,
+    report/425500_Report.tex:673-692): symmetric adjacency, no
+    diagonal, ~1.41 avg degree, and geometric locality — RCM must
+    recover O(sqrt(m))-class bandwidth from the shuffled labels."""
+    import numpy as np
+
+    from sparsematrixmultiplicationmpi_tpu.formats.reorder import (
+        rcm_ordering,
+    )
+    from sparsematrixmultiplicationmpi_tpu.io.generate import roadnet_like
+
+    csr = roadnet_like(scale=0.005, seed=2)
+    m = csr.shape[0]
+    dense = np.asarray(csr.to_dense())
+    assert np.allclose(dense, dense.T)
+    assert np.abs(np.diag(dense)).max() == 0
+    assert 1.0 < csr.nnz / m < 2.0
+    perm = rcm_ordering(csr)
+    rp = np.empty(m, np.int64)
+    rp[perm] = np.arange(m)
+    r, c = dense.nonzero()
+    bw = np.abs(rp[r] - rp[c]).max()
+    assert bw < 8 * int(np.ceil(np.sqrt(m)))  # locality recovered
+
+
+def test_dc1_like_structure():
+    """dc1 twin: symmetric, full diagonal, median row degree in the
+    device-stamp range but hub nets orders of magnitude denser (the
+    load-imbalance regime the reference's nnz strategy targets)."""
+    import numpy as np
+
+    from sparsematrixmultiplicationmpi_tpu.io.generate import dc1_like
+
+    csr = dc1_like(scale=0.02, seed=3)
+    dense = np.asarray(csr.to_dense())
+    assert np.allclose(dense, dense.T)
+    assert (np.diag(dense) != 0).all()
+    deg = (dense != 0).sum(1)
+    assert np.median(deg) <= 10
+    assert deg.max() > 8 * np.median(deg)  # hub rows present

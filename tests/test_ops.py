@@ -13,7 +13,8 @@ from sparsematrixmultiplicationmpi_tpu import (
     spmm_sequential, to_bcoo,
 )
 from sparsematrixmultiplicationmpi_tpu.io.generate import (
-    banded_csr, cage4_like, powerlaw_csr, random_csr,
+    banded_csr, cage4_like, dc1_like, powerlaw_csr, random_csr,
+    roadnet_like,
 )
 
 MATRICES = {
@@ -21,6 +22,8 @@ MATRICES = {
     "random": lambda: random_csr(120, 90, 1000, seed=1),
     "banded": lambda: banded_csr(200, 9, 7, seed=2),
     "powerlaw": lambda: powerlaw_csr(150, 150, 2500, seed=3),
+    "roadnet_like": lambda: roadnet_like(scale=0.002, seed=4),
+    "dc1_like": lambda: dc1_like(scale=0.005, seed=5),
     "single_row": lambda: CSR.from_dense(np.ones((1, 64))),
     "single_col": lambda: CSR.from_dense(np.ones((64, 1))),
     "with_empty_rows": lambda: CSR.from_dense(
