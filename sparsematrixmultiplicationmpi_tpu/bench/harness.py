@@ -288,23 +288,6 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
                     done.add((row["matrix"], int(row["k"]),
                               row["strategy"], int(row["devices"])))
 
-    # This sweep's job-key universe, under BOTH the caller's alias and
-    # the canonical strategy name (rows are recorded canonically when
-    # construction succeeds, under the alias when it doesn't).
-    job_names = {}
-    for sname in strategy_names:
-        names = {sname}
-        try:
-            names.add(get_strategy(sname).name)
-        except Exception:
-            pass
-        job_names[sname] = names
-    retry_keys = {
-        (mat_name, int(k), nm, int(p))
-        for mat_name in matrices for k in ks for p in device_counts
-        for sname in strategy_names for nm in job_names[sname]
-    }
-
     ckpt = None
     if checkpoint_csv:
         import csv as _csv
@@ -316,6 +299,24 @@ def sweep(matrices: Dict[str, CSR], ks: Sequence[int],
         new_file = not (resume_from == checkpoint_csv
                         and os.path.exists(checkpoint_csv))
         if not new_file:
+            # This sweep's job-key universe, under BOTH the caller's
+            # alias and the canonical strategy name (rows are recorded
+            # canonically when construction succeeds, under the alias
+            # when it doesn't).
+            job_names = {}
+            for sname in strategy_names:
+                names = {sname}
+                try:
+                    names.add(get_strategy(sname).name)
+                except Exception:
+                    pass
+                job_names[sname] = names
+            retry_keys = {
+                (mat_name, int(k), nm, int(p))
+                for mat_name in matrices for k in ks
+                for p in device_counts
+                for sname in strategy_names for nm in job_names[sname]
+            }
             # Rewrite the checkpoint before appending: (a) schema
             # migration — an older build's header (e.g. pre-'error')
             # would misalign appended rows; (b) drop failed rows this

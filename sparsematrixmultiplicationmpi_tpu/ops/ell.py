@@ -57,14 +57,13 @@ def _spmm_ell_dma(ell: ELL, v: jax.Array) -> jax.Array:
     contract."""
     from .pallas_gather import ell_gather_rows_pallas
 
+    from ..utils.backend import on_cpu_backend
+
     mp, w = ell.cols.shape
     k = v.shape[1]
     if k > 128:
         raise ValueError(f"DMA gather supports k <= 128, got {k}")
-    try:
-        interp = jax.devices()[0].platform == "cpu"
-    except Exception:
-        interp = True
+    interp = on_cpu_backend()
     T = 8
     pad_r = (-mp) % T
     cols, vals = ell.cols, ell.vals

@@ -129,10 +129,9 @@ def spmm_banded_pallas(bb: BandedBlocks, v: jax.Array, *,
     interpreter mode on CPU (correct everywhere, fast where it matters).
     """
     if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform == "cpu"
-        except Exception:
-            interpret = True
+        from ..utils.backend import on_cpu_backend
+
+        interpret = on_cpu_backend()
     m, n = bb.shape
     r = bb.block_rows
     nb = bb.n_blocks

@@ -447,10 +447,9 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
     from .windowed import _finish
 
     if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform == "cpu"
-        except Exception:
-            interpret = True
+        from ..utils.backend import on_cpu_backend
+
+        interpret = on_cpu_backend()
     R = wp.block_rows
     nb = wp.n_blocks
     k = v_p.shape[1]

@@ -129,10 +129,9 @@ def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
     k = v_p.shape[1]
     k_pad = (-k) % 8
     if use_pallas is None:
-        try:
-            use_pallas = jax.devices()[0].platform != "cpu"
-        except Exception:
-            use_pallas = False
+        from ..utils.backend import on_cpu_backend
+
+        use_pallas = not on_cpu_backend()
         if k_pad and k < KPAD_MIN_K:
             use_pallas = False
     if use_pallas:

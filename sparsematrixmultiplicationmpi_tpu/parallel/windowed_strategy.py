@@ -575,12 +575,10 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
     the caller — reading the env var here at trace time would bake it
     into the compiled dispatch without being part of the cache key, so
     flipping it mid-process would silently reuse the old path."""
-    from ..ops.windowed import KPAD_MIN_K
+    from ..formats.windowed import KPAD_MIN_K
+    from ..utils.backend import on_cpu_backend
 
-    try:
-        on_cpu = jax.devices()[0].platform == "cpu"
-    except Exception:
-        on_cpu = True
+    on_cpu = on_cpu_backend()
     k_pad = (-k) % 8
     use_pallas = (not on_cpu or mode == "interpret") and mode != "xla" \
         and (k % 8 == 0 or k >= KPAD_MIN_K)
