@@ -124,6 +124,17 @@ def main() -> int:
         "dtype": rec.dtype,
     }
     print(json.dumps(result))
+    # Also persist to results/ so the headline is a committed artifact,
+    # not just driver stdout (VERDICT r2 Missing #1). stdout stays
+    # exactly one JSON line (driver contract).
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "bench_headline.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=2)
+    except OSError as e:
+        print(f"# could not write results/bench_headline.json: {e}",
+              file=sys.stderr)
     return 0
 
 
