@@ -74,7 +74,8 @@ records = []
 try:
     records = sweep(
         matrices, ks=[1, 6, 12, 32],
-        strategy_names=["row", "column", "nnz", "auto", "library"],
+        strategy_names=["row", "column", "nnz", "windowed_row", "auto",
+                        "library"],
         comm_split=True, **common,
     )
     # bf16 tier (VERDICT round-1 #9): the Auto strategy under the
@@ -93,7 +94,8 @@ try:
     records += sweep(
         {"roadnet_like": roadnet_like().astype(jnp.float32),
          "dc1_like": dc1_like().astype(jnp.float32)},
-        ks=[6], strategy_names=["row", "column", "nnz", "auto", "library"],
+        ks=[6], strategy_names=["row", "column", "nnz", "windowed_row",
+                                "auto", "library"],
         comm_split=True, **common,
     )
 except RuntimeError as e:
