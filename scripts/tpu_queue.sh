@@ -10,7 +10,7 @@
 set -u
 cd "$(dirname "$0")/.."
 
-JOBS=${@:-"probe16 constants spillgather sweep bench"}
+JOBS=${@:-"probe16 constants meshcheck spillgather sweep bench"}
 
 probe_tunnel() {
   timeout 180 python -c \
@@ -47,7 +47,14 @@ for job in $JOBS; do
     meshcheck)
       JOB_TIMEOUT=1800 run_job meshcheck python scripts/tpu_windowed_mesh_check.py ;;
     probe16)
-      JOB_TIMEOUT=3600 run_job probe16 python scripts/exp_kernel_probe16.py ;;
+      JOB_TIMEOUT=3600 run_job probe16 python scripts/exp_kernel_probe16.py
+      # Fit the cost-model constants from the REAL log (never a fixture;
+      # see tests/test_fit_probe16.py for the parser self-test).
+      if [ $? -eq 0 ]; then
+        python scripts/fit_probe16.py /tmp/tpu_probe16.log \
+          > /tmp/tpu_probe16_fit.log 2>&1 \
+          && echo "$(date) probe16 fit written to results/probe16_fit.json"
+      fi ;;
     constants)
       JOB_TIMEOUT=2400 run_job constants python scripts/check_cost_constants.py ;;
     spillgather)
