@@ -167,7 +167,8 @@ class WindowedRowWise(Strategy):
                  chunk_cols: Optional[int] = None,
                  reorder: str | None = "auto",
                  pairs_per_step: Optional[int] = None,
-                 input_mode: str = "auto"):
+                 input_mode: str = "auto",
+                 force_pallas: Optional[str] = None):
         self.block_rows = block_rows
         self.chunk_cols = chunk_cols
         self.reorder = reorder
@@ -180,6 +181,14 @@ class WindowedRowWise(Strategy):
         if input_mode not in ("auto", "halo", "replicate"):
             raise ValueError(f"unknown input_mode {input_mode!r}")
         self.input_mode = input_mode
+        if force_pallas not in (None, "interpret", "xla"):
+            raise ValueError(f"unknown force_pallas {force_pallas!r}")
+        # Explicit kernel-dispatch override; falls back to the
+        # SPMM_FORCE_PALLAS env var when None. Callers (dryrun, tests)
+        # should pass this instead of mutating os.environ — the env var
+        # is safe only because it's threaded as a static jit arg, and an
+        # explicit parameter removes the trap entirely.
+        self.force_pallas = force_pallas
 
     def prepare(self, csr, mesh: Mesh) -> WindowedRowOperand:
         m, n = csr.shape
@@ -459,7 +468,7 @@ class WindowedRowWise(Strategy):
             mesh, ax, gather_result, has_spill, has_tail, has_split, R,
             nb_loc, m, operand.pairs_per_step, halo,
             operand.halo_left, operand.halo_right, C,
-            _force_pallas_mode(),
+            self.force_pallas or _force_pallas_mode(),
             operand.tiles,
             operand.tiles_split if has_split else jnp.zeros(
                 (0, 0, 0), jnp.bfloat16),
