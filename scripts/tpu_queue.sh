@@ -10,6 +10,12 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# scripts/*.py import the package from the repo root; `python scripts/x.py`
+# puts scripts/ (not the root) on sys.path, so the root must be on
+# PYTHONPATH — and /root/.axon_site must stay on it or the axon backend
+# breaks (CLAUDE.md environment rules).
+export PYTHONPATH="$(pwd):/root/.axon_site"
+
 JOBS=${@:-"probe16 constants meshcheck spillgather sweep bench"}
 
 probe_tunnel() {
