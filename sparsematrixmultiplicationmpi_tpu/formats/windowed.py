@@ -131,6 +131,18 @@ def _split_planes(tiles):
     return jnp.concatenate([hi, lo], axis=-1)
 
 
+def _tiles_t(tiles, tiles_split):
+    """Transposed tile operand for the tmulti kernel
+    (``ops/pallas_windowed.py::windowed_matmul_tmulti``): (P, 2C, R)
+    bf16 sublane-packed hi/lo for f32 data (hi planes on sublanes [:C],
+    lo on [C:] — the lane-packed split transposed), or (P, C, R) plain
+    transposed tiles for bf16 data. Host-side numpy stays host-side."""
+    src = tiles_split if tiles_split is not None else tiles
+    if isinstance(src, np.ndarray):
+        return np.ascontiguousarray(src.swapaxes(1, 2))
+    return jnp.swapaxes(src, 1, 2)
+
+
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
                  pairs_per_step: int = 2) -> float:
     """Cost of one dense tile: fixed per-tile overhead plus tile and
@@ -347,6 +359,11 @@ class WindowedPairs:
     #: (U-pair scratch-accumulator kernel, ops/pallas_windowed.py::
     #: windowed_matmul_multi).
     pairs_per_step: int = _static_field(default=2)
+    #: Transposed tile operand for the U-pair transposed-state kernel
+    #: (``windowed_matmul_tmulti``): (P, 2C, R) bf16 sublane-packed
+    #: hi/lo split for f32 data, (P, C, R) for bf16. Built only for
+    #: ``pairs_per_step > 2`` formats (``_tiles_t``); None otherwise.
+    tiles_t: Optional[jax.Array] = None
 
     @property
     def dtype(self):
@@ -383,9 +400,12 @@ class WindowedPairs:
 
     def astype(self, dtype) -> "WindowedPairs":
         tiles = self.tiles.astype(dtype)
+        split = _split_planes(tiles)
         return dataclasses.replace(
             self,
-            tiles=tiles, tiles_split=_split_planes(tiles),
+            tiles=tiles, tiles_split=split,
+            tiles_t=(_tiles_t(tiles, split)
+                     if self.pairs_per_step > 2 else None),
             spill=None if self.spill is None else self.spill.astype(dtype),
         )
 
@@ -416,6 +436,19 @@ class WindowedPairs:
         from ..ops.windowed import spmm_windowed_core
 
         return spmm_windowed_core(self, v_p)
+
+    @property
+    def supports_transposed_chain(self) -> bool:
+        """Whether the zero-relayout transposed-state chain applies
+        (``ops/windowed.py::windowed_t_chain``): U-pair transposed
+        kernel built, square block/chunk grids (the kernel's (nb, k, R)
+        output IS the next step's slab grid), and no spill (the spill
+        restore needs natural-layout rows)."""
+        return (self.pairs_per_step > 2
+                and self.tiles_t is not None
+                and self.spill is None
+                and self.block_rows == self.chunk_cols
+                and self.n_blocks == self.n_chunks)
 
     def __matmul__(self, v):
         from ..ops.windowed import spmm_windowed
@@ -551,9 +584,12 @@ class WindowedPairs:
             inv_perm = np.empty(m, dtype=np.int32)
             inv_perm[perm] = np.arange(m, dtype=np.int32)
             perm = perm.astype(np.int32)
+        split = _split_planes(tiles)
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
-            block_ptr=block_ptr, tiles_split=_split_planes(tiles),
+            block_ptr=block_ptr, tiles_split=split,
+            tiles_t=(_tiles_t(tiles, split) if pairs_per_step > 2
+                     else None),
             spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
             est_seconds=float(est), pairs_per_step=pairs_per_step,

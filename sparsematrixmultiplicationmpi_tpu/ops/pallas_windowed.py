@@ -65,7 +65,7 @@ from ..formats.windowed import WindowedPairs
 
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas",
            "windowed_matmul_split3", "windowed_matmul_multi",
-           "chunk_slabs"]
+           "windowed_matmul_tmulti", "resplit_slabs", "chunk_slabs"]
 
 
 def _dot_cc(a, b, precision):
@@ -304,7 +304,13 @@ def windowed_matmul_multi(pair_block: jax.Array, pair_chunk: jax.Array,
             pl.BlockSpec((U, R, C2), lambda s, pb, pc: (s, 0, 0)),
             *[slab_spec(u) for u in range(U)],
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        # HBM explicitly, NOT pl.ANY: Mosaic places small ANY-space
+        # outputs in VMEM, whose (1, 128) tiling rejects the manual
+        # flush DMA's (R, k) slice when k < 128 ("Slice shape along
+        # dimension 2 must be aligned to tiling (128)" — the round-3
+        # U>2 hardware compile failure, /tmp/tpu_meshcheck.log r4).
+        # HBM refs are untiled, so leading-dim slices are always legal.
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((R, k), jnp.float32),   # accumulator
             pltpu.VMEM((R, k), jnp.float32),   # DMA staging
@@ -324,6 +330,181 @@ def windowed_matmul_multi(pair_block: jax.Array, pair_chunk: jax.Array,
         interpret=interpret,
     )(pair_block, pair_chunk, tiles, *([slabs] * U))
     return out.reshape(nb * R, k)
+
+
+def _dot_kc_cr(a, b):
+    """(k, C) x (C, R) standard matmul on the MXU -> (k, R), f32 acc.
+
+    The transposed-state contraction ("tdot"): measured ~12 % faster
+    than the (R, C) x (k, C) form at f32 HIGHEST (356 vs 403 ns/tile,
+    scripts/exp_kernel_probe13.py ``tdot``) because the output's minor
+    dim is the 128-lane R instead of the quarter-occupied k."""
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
+                   split: bool):
+    """Transposed-state U-pairs-per-step kernel.
+
+    Same control structure as ``_kernel_multi`` (SMEM current-block
+    tracking, staged async flush on block change), but every on-chip
+    array keeps the 128-wide tile dimension MINOR so the manual flush
+    DMA is tiling-legal: Mosaic stores HBM/VMEM arrays in (8, 128)
+    (f32) / (16, 128) (bf16) tiles and a manual ``memref_slice`` whose
+    minor extent is not a 128-multiple fails to compile ("Slice shape
+    along dimension 2 must be aligned to tiling (128)" — the round-3
+    U>2 hardware failure; the natural-layout accumulator's minor dim is
+    k, typically 32). Here:
+
+      tiles_ref : (U, 2C, R) bf16 — transposed tiles, hi planes on
+                  sublanes [:C], lo on [C:] (non-split: (U, C, R))
+      slabs     : (1, k8, 2C) bf16 lane-packed hi|lo (the
+                  ``chunk_slabs`` layout; non-split: (1, k8, C))
+      acc/stage : (k8, R) f32 — minor dim R, a 128-multiple by the
+                  wrapper's gate
+      out       : (nb, k8, R) f32 in HBM, flushed per block run
+
+    The three DEFAULT-precision dots are the transposed split3 terms:
+    ``sh@th + sh@tl + sl@th`` — identical arithmetic to
+    ``_kernel_split3``, 12 % faster MXU shape (``_dot_kc_cr``).
+    """
+    slab_refs = rest[:U]
+    out_ref, acc, stage, cur, prev, cnt, sem = rest[U:]
+    s = pl.program_id(0)
+    S = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        cur[0] = pb_ref[0]
+        cnt[0] = 0
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+    def wait_prev():
+        @pl.when(cnt[0] == 1)
+        def _():
+            pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
+
+    def flush():
+        wait_prev()
+        stage[...] = acc[...]
+        pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
+        prev[0] = cur[0]
+        cnt[0] = 1
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+    for u in range(U):
+        b = pb_ref[s * U + u]
+
+        @pl.when(b != cur[0])
+        def _(b=b):
+            flush()
+            cur[0] = b
+
+        t = tiles_ref[u]
+        sl = slab_refs[u][0]
+        if split:
+            acc[...] += (_dot_kc_cr(sl[:, :C], t[:C])
+                         + _dot_kc_cr(sl[:, :C], t[C:])
+                         + _dot_kc_cr(sl[:, C:], t[:C]))
+        else:
+            acc[...] += _dot_kc_cr(sl, t)
+
+    @pl.when(s == S - 1)
+    def _():
+        flush()
+        pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "pairs_per_step", "split", "interpret"))
+def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
+                           tiles_t: jax.Array, slabs: jax.Array, *,
+                           nb: int, pairs_per_step: int = 8,
+                           split: bool = True,
+                           interpret: bool = False) -> jax.Array:
+    """Raw fused contraction in TRANSPOSED state: slabs in, (nb, k8, R)
+    f32 out — the chained-iterate hot body with zero per-step layout
+    transforms (``resplit_slabs`` turns the output back into the next
+    step's ``slabs`` with one fused elementwise op when R == C).
+
+    ``tiles_t``: with ``split``, (P, 2C, R) bf16 sublane-packed hi/lo
+    transposed tile planes (``formats/windowed.py::_split_planes_t``);
+    otherwise (P, C, R) single-plane transposed tiles. Block-ascending,
+    every block in [0, nb) present, P % pairs_per_step == 0. ``slabs``:
+    (n_chunks, k8, 2C) bf16 lane-packed hi|lo (``chunk_slabs(...,
+    split=True)``) or (n_chunks, k8, C) single-plane, k8 % 8 == 0.
+    Compiled mode requires R % 128 == 0 (manual-flush DMA tiling rule —
+    see ``_kernel_tmulti``); the wrapper raises otherwise.
+    """
+    U = pairs_per_step
+    P, C2, R = tiles_t.shape
+    C = C2 // 2 if split else C2
+    k8 = slabs.shape[1]
+    if P % U:
+        raise ValueError(
+            f"pair count {P} not a multiple of pairs_per_step {U}")
+    if k8 % 8:
+        raise ValueError(f"slab row dim {k8} must be a sublane multiple")
+    if not interpret and R % 128:
+        raise ValueError(
+            f"compiled tmulti requires R % 128 == 0 (flush DMA minor-dim "
+            f"tiling), got R={R}")
+    slab_w = 2 * C if split else C
+    if slabs.shape[2] != slab_w:
+        raise ValueError(
+            f"slab width {slabs.shape[2]} != expected {slab_w} "
+            f"(split={split})")
+    S = P // U
+
+    def slab_spec(u):
+        return pl.BlockSpec(
+            (1, k8, slab_w),
+            lambda s, pb, pc, u=u: (pc[s * U + u], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # pb, pc
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((U, C2, R), lambda s, pb, pc: (s, 0, 0)),
+            *[slab_spec(u) for u in range(U)],
+        ],
+        # HBM explicitly: untiled leading-dim slices keep the manual
+        # flush legal for any k8 (pl.ANY let Mosaic pick VMEM, whose
+        # tiled layout rejects it — the round-3 compile failure).
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((k8, R), jnp.float32),  # accumulator
+            pltpu.VMEM((k8, R), jnp.float32),  # DMA staging
+            pltpu.SMEM((1,), jnp.int32),       # current block
+            pltpu.SMEM((1,), jnp.int32),       # outstanding-copy block
+            pltpu.SMEM((1,), jnp.int32),       # outstanding-copy flag
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_kernel_tmulti, U=U, C=C, split=split)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, k8, R), jnp.float32),
+        interpret=interpret,
+    )(pair_block, pair_chunk, tiles_t, *([slabs] * U))
+
+
+@jax.jit
+def resplit_slabs(out_t: jax.Array) -> jax.Array:
+    """(nb, k8, R) f32 transposed output -> (nb, k8, 2R) bf16 lane-packed
+    hi|lo slabs — the next iterate's input when R == C and the block grid
+    equals the chunk grid (square matrices). One fused elementwise pass
+    (~2x the array's bytes at HBM rate) replacing the 0.13-0.4 ms
+    chunk-transpose relayout of the natural-layout pipeline."""
+    hi = out_t.astype(jnp.bfloat16)
+    lo = (out_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=2)
 
 
 def _step_scalars(pair_block, pair_chunk):
@@ -481,17 +662,25 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
                     "runs must be padded to even length "
                     "(WindowedPairs.from_csr pairs_per_step=2 branch)")
     if wp.pairs_per_step > 2:
-        split = (wp.tiles.dtype == jnp.float32
-                 and wp.tiles_split is not None)
-        tiles = wp.tiles_split if split else wp.tiles
-        v_in = v_p
-        if not split and v_in.dtype != wp.tiles.dtype:
-            v_in = v_in.astype(wp.tiles.dtype)
-        computed = windowed_matmul_multi(
-            wp.pair_block, wp.pair_chunk, jnp.asarray(tiles), v_in,
+        # Transposed-state kernel: the only manual-flush layout whose
+        # DMA is tiling-legal on hardware (see _kernel_tmulti). Compiled
+        # mode additionally needs R % 128 == 0; otherwise the XLA path
+        # is the correct (and measured-competitive) fallback.
+        if wp.tiles_t is None or not (interpret
+                                      or wp.block_rows % 128 == 0):
+            from .windowed import spmm_windowed_xla
+
+            return spmm_windowed_xla(wp, v_p)
+        split = wp.tiles.dtype == jnp.float32
+        slab_dtype = jnp.float32 if split else wp.tiles.dtype
+        (slabs,) = chunk_slabs(v_p.astype(slab_dtype), C=wp.chunk_cols,
+                               split=split, interpret=interpret)
+        out_t = windowed_matmul_tmulti(
+            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t), slabs,
             nb=nb, pairs_per_step=wp.pairs_per_step, split=split,
             interpret=interpret,
-        )
+        )  # (nb, k, R)
+        computed = jnp.swapaxes(out_t, 1, 2).reshape(nb * R, k)
         return _finish(wp, computed, v_p)
     if wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None:
         computed = windowed_matmul_split3(

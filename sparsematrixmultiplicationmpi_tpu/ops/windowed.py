@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..formats.windowed import KPAD_MIN_K, WindowedPairs
 from .ell import spmm_ell
 
-__all__ = ["spmm_windowed", "spmm_windowed_core", "spmm_windowed_xla"]
+__all__ = ["spmm_windowed", "spmm_windowed_core", "spmm_windowed_xla",
+           "windowed_t_chain"]
 
 
 def _precision(tiles_dtype, v_dtype):
@@ -143,6 +144,82 @@ def spmm_windowed_core(wp: WindowedPairs, v_p: jax.Array, *,
             return spmm_windowed_pallas(wp, v_wide)[:, :k]
         return spmm_windowed_pallas(wp, v_p)
     return spmm_windowed_xla(wp, v_p)
+
+
+def windowed_t_chain(wp: WindowedPairs, k: int, *,
+                     interpret: bool | None = None):
+    """Zero-relayout chained-iterate protocol in TRANSPOSED state, or
+    ``None`` when it does not apply (caller falls back to the natural
+    ``encode``/``iterate``/``decode`` chain).
+
+    The state is the slab array itself — ``(n_chunks, k, 2C)`` bf16
+    lane-packed hi|lo for f32 operands, ``(n_chunks, k, C)`` bf16 for
+    bf16 operands. Each step runs the U-pair transposed kernel
+    (``windowed_matmul_tmulti``), whose ``(nb, k, R)`` f32 output maps
+    back to the slab grid with ONE fused elementwise pass
+    (``resplit_slabs`` / a cast) because ``R == C`` and the block grid
+    equals the chunk grid — the per-step chunk-transpose relayout of
+    the natural pipeline (0.13 ms Pallas / 0.4 ms XLA on the cop20k
+    stand-in) disappears entirely. Boundary transforms (RCM permute,
+    pad, the first split) happen once in ``enc``/``dec`` — the PETSc
+    never-regather lesson (``report/425500_Report.tex:1092-1095``).
+
+    Accuracy: the state round-trips through the bf16 hi+lo pair each
+    step (~4e-6 relative), inside the documented f32 tier
+    (``utils/compare.py``); bf16 operands round-trip through bf16
+    exactly as the natural path does.
+
+    Each returned function takes ``(x, operand)`` like
+    ``Strategy.chain_parts`` bodies.
+    """
+    if not wp.supports_transposed_chain:
+        return None
+    k8 = -(-k // 8) * 8
+    if k8 != k and k < KPAD_MIN_K:
+        return None  # narrow unaligned k: XLA path is measured faster
+    if interpret is None:
+        from ..utils.backend import on_cpu_backend
+
+        interpret = on_cpu_backend()
+    if not interpret and wp.block_rows % 128:
+        return None  # compiled flush DMA needs a 128-multiple minor dim
+    from .pallas_windowed import (
+        chunk_slabs, resplit_slabs, windowed_matmul_tmulti,
+    )
+
+    split = wp.tiles.dtype == jnp.float32
+    slab_dtype = jnp.float32 if split else wp.tiles.dtype
+    C = wp.chunk_cols
+
+    def enc(v, op):
+        v_p = op.encode(v).astype(slab_dtype)
+        if k8 != k:
+            v_p = jnp.concatenate(
+                [v_p, jnp.zeros((v_p.shape[0], k8 - k), v_p.dtype)],
+                axis=1)
+        (slabs,) = chunk_slabs(v_p, C=C, split=split, interpret=interpret)
+        return slabs
+
+    def body(state, op):
+        out_t = windowed_matmul_tmulti(
+            op.pair_block, op.pair_chunk, jnp.asarray(op.tiles_t), state,
+            nb=op.n_blocks, pairs_per_step=op.pairs_per_step,
+            split=split, interpret=interpret,
+        )
+        if split:
+            return resplit_slabs(out_t)
+        return out_t.astype(slab_dtype)
+
+    def dec(state, op):
+        if split:
+            x = (state[:, :, :C].astype(jnp.float32)
+                 + state[:, :, C:].astype(jnp.float32))
+        else:
+            x = state.astype(jnp.float32)
+        rows = jnp.swapaxes(x, 1, 2).reshape(-1, k8)[:, :k]
+        return op.decode(rows)
+
+    return enc, body, dec
 
 
 def spmm_windowed(wp: WindowedPairs, v: jax.Array, *,

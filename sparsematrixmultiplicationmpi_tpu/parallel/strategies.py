@@ -483,11 +483,31 @@ class Auto(Strategy):
         from .windowed_strategy import WindowedRowOperand, WindowedRowWise
 
         if isinstance(operand, WindowedPairs):
-            return (
-                lambda v, op: op.encode(v),
-                lambda vv, op: op.iterate(vv),
-                lambda out, op: op.decode(out),
-            )
+            from ..ops.windowed import windowed_t_chain
+
+            # Zero-relayout transposed-state chain where it applies
+            # (spill-free square U>2 formats, sublane-aligned k): the
+            # state is the slab array (ndim 3), so body/dec dispatch is
+            # static under jit. k % 8 == 0 keeps k recoverable from the
+            # state shape (no pad columns to strip).
+            def enc(v, op):
+                if v.shape[1] % 8 == 0:
+                    ch = windowed_t_chain(op, v.shape[1])
+                    if ch is not None:
+                        return ch[0](v, op)
+                return op.encode(v)
+
+            def body(x, op):
+                if x.ndim == 3:
+                    return windowed_t_chain(op, x.shape[1])[1](x, op)
+                return op.iterate(x)
+
+            def dec(x, op):
+                if x.ndim == 3:
+                    return windowed_t_chain(op, x.shape[1])[2](x, op)
+                return op.decode(x)
+
+            return enc, body, dec
         if isinstance(operand, BandedRowOperand):
             return BandedRowWise().chain_parts(
                 operand, mesh, gather_result=gather_result)
