@@ -12,6 +12,13 @@ kernel-only time from ~1.9 ms toward ~1.0 ms.
 Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 \
        python scripts/exp_kernel_probe16.py
 """
+import sys
+
+sys.exit("probe16 is SUPERSEDED: the natural-layout U-pair kernel it "
+         "measured (windowed_matmul_multi) could not compile on hardware "
+         "(manual flush DMA minor-dim tiling) and was replaced by the "
+         "transposed-state kernel. Run scripts/exp_kernel_probe17.py.")
+
 import time
 
 import jax

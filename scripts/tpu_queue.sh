@@ -16,7 +16,7 @@ cd "$(dirname "$0")/.."
 # breaks (CLAUDE.md environment rules).
 export PYTHONPATH="$(pwd):/root/.axon_site"
 
-JOBS=${@:-"probe16 constants meshcheck spillgather sweep bench"}
+JOBS=${@:-"probe17 constants meshcheck spillgather sweep bench"}
 
 probe_tunnel() {
   timeout 180 python -c \
@@ -53,14 +53,9 @@ for job in $JOBS; do
     meshcheck)
       JOB_TIMEOUT=1800 run_job meshcheck python scripts/tpu_windowed_mesh_check.py ;;
     probe16)
-      JOB_TIMEOUT=3600 run_job probe16 python scripts/exp_kernel_probe16.py
-      # Fit the cost-model constants from the REAL log (never a fixture;
-      # see tests/test_fit_probe16.py for the parser self-test).
-      if [ $? -eq 0 ]; then
-        python scripts/fit_probe16.py /tmp/tpu_probe16.log \
-          > /tmp/tpu_probe16_fit.log 2>&1 \
-          && echo "$(date) probe16 fit written to results/probe16_fit.json"
-      fi ;;
+      echo "probe16 superseded by probe17 (kernel replaced)" ;;
+    probe17)
+      JOB_TIMEOUT=3600 run_job probe17 python scripts/exp_kernel_probe17.py ;;
     constants)
       JOB_TIMEOUT=2400 run_job constants python scripts/check_cost_constants.py ;;
     spillgather)

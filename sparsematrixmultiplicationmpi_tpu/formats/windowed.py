@@ -85,7 +85,7 @@ TILE_OVERHEAD_S = 191e-9
 TILE_STREAM_BW = 758e9
 #: Kernel generation new builds target: 2 = two-pair kernel with even
 #: per-block runs; >2 = U-pair scratch-accumulator kernel
-#: (``ops/pallas_windowed.py::windowed_matmul_multi``), global tail pad
+#: (``ops/pallas_windowed.py::windowed_matmul_tmulti``), global tail pad
 #: only. Flip after probe16 measurements on real hardware.
 PRODUCTION_PAIRS_PER_STEP = 2
 #: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
@@ -357,7 +357,7 @@ class WindowedPairs:
     #: Pairs per Pallas grid step the build padded for. 2 = legacy
     #: even-run padding (two-pair kernel); >2 = global tail pad only
     #: (U-pair scratch-accumulator kernel, ops/pallas_windowed.py::
-    #: windowed_matmul_multi).
+    #: windowed_matmul_tmulti).
     pairs_per_step: int = _static_field(default=2)
     #: Transposed tile operand for the U-pair transposed-state kernel
     #: (``windowed_matmul_tmulti``): (P, 2C, R) bf16 sublane-packed

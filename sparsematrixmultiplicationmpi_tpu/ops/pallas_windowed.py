@@ -64,8 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.windowed import WindowedPairs
 
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas",
-           "windowed_matmul_split3", "windowed_matmul_multi",
-           "windowed_matmul_tmulti", "resplit_slabs", "chunk_slabs"]
+           "windowed_matmul_split3", "windowed_matmul_tmulti", "resplit_slabs", "chunk_slabs"]
 
 
 def _dot_cc(a, b, precision):
@@ -169,74 +168,6 @@ def chunk_slabs(v_pad: jax.Array, *, C: int, split: bool,
     return tuple(out) if isinstance(out, (list, tuple)) else (out,)
 
 
-def _kernel_multi(pb_ref, pc_ref, tile_ref, *rest, U: int, C: int,
-                  split: bool, f32_highest: bool):
-    """U pairs per grid step with a VMEM scratch accumulator and manual
-    async flush of each finished row block to the HBM output.
-
-    Unlike ``_kernel_plain``/``_kernel_split3`` (whose output BlockSpec
-    forces every grid step to live inside one row block, requiring the
-    format to pad every block's pair run), steps here freely span block
-    boundaries: the kernel tracks the current block in SMEM, and when a
-    pair's block id changes it stages the accumulator and DMAs it to
-    ``out[b]`` (double-buffer-free: the NEXT flush waits the previous
-    copy before reusing the staging buffer, so the DMA latency hides
-    under the following block's MXU work). The only format requirements
-    are block-ascending pairs, every block present, and total pair count
-    a multiple of U (zero tiles at the global tail, <= U-1 of them).
-    """
-    slab_refs = rest[:U]
-    out_ref, acc, stage, cur, prev, cnt, sem = rest[U:]
-    s = pl.program_id(0)
-    S = pl.num_programs(0)
-
-    @pl.when(s == 0)
-    def _():
-        cur[0] = pb_ref[0]
-        cnt[0] = 0
-        acc[...] = jnp.zeros(acc.shape, acc.dtype)
-
-    def wait_prev():
-        @pl.when(cnt[0] == 1)
-        def _():
-            # Reconstructed descriptor: same buffers/shape/semaphore as
-            # the outstanding copy (prev holds its block id), which is
-            # all wait() needs — the banded kernel uses the same pattern.
-            pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
-
-    def flush():
-        wait_prev()
-        stage[...] = acc[...]
-        pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
-        prev[0] = cur[0]
-        cnt[0] = 1
-        acc[...] = jnp.zeros(acc.shape, acc.dtype)
-
-    d = jax.lax.Precision.DEFAULT
-    hi = jax.lax.Precision.HIGHEST
-    for u in range(U):
-        b = pb_ref[s * U + u]
-
-        @pl.when(b != cur[0])
-        def _(b=b):
-            flush()
-            cur[0] = b
-
-        t = tile_ref[u]
-        sl = slab_refs[u][0]
-        if split:
-            acc[...] += (_dot_cc(t[:, :C], sl[:, :C], d)
-                         + _dot_cc(t[:, C:], sl[:, :C], d)
-                         + _dot_cc(t[:, :C], sl[:, C:], d))
-        else:
-            acc[...] += _dot_cc(t, sl, hi if f32_highest else d)
-
-    @pl.when(s == S - 1)
-    def _():
-        flush()
-        pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
-
-
 def _pad_pairs_multi(pair_block, pair_chunk, tiles, nb: int, U: int):
     """Host/build-side global tail pad to a pair-count multiple of U:
     zero tiles assigned to the last block (keeps ascending order; adds
@@ -254,82 +185,6 @@ def _pad_pairs_multi(pair_block, pair_chunk, tiles, nb: int, U: int):
     tz = np.zeros((pad,) + tiles.shape[1:], np.asarray(tiles).dtype)
     t = np.concatenate([np.asarray(tiles), tz])
     return pb.astype(np.int32), pc.astype(np.int32), t
-
-
-@functools.partial(
-    jax.jit, static_argnames=("nb", "pairs_per_step", "split", "interpret"))
-def windowed_matmul_multi(pair_block: jax.Array, pair_chunk: jax.Array,
-                          tiles: jax.Array, v_pad: jax.Array, *,
-                          nb: int, pairs_per_step: int = 8,
-                          split: bool = True,
-                          interpret: bool = False) -> jax.Array:
-    """Raw fused contraction, U-pairs-per-step scratch-accumulator mode.
-
-    ``tiles``: with ``split``, (P, R, 2C) bf16 lane-packed hi|lo split
-    planes (split3 3-pass f32 math); otherwise (P, R, C) single-plane
-    tiles (bf16 DEFAULT / f32 HIGHEST). Block-ascending with every block
-    in [0, nb) present and P % pairs_per_step == 0
-    (``_pad_pairs_multi``). ``v_pad``: (pad_rows, k) f32/bf16
-    natural-layout fat vector.
-    """
-    U = pairs_per_step
-    P, R, C2 = tiles.shape
-    if P % U:
-        raise ValueError(
-            f"pair count {P} not a multiple of pairs_per_step {U}; "
-            "build the format with the matching pairs_per_step "
-            "(or pad via _pad_pairs_multi)")
-    C = C2 // 2 if split else C2
-    k = v_pad.shape[1]
-    if split:
-        (slabs,) = chunk_slabs(v_pad.astype(jnp.float32), C=C, split=True,
-                               interpret=interpret)
-    else:
-        if v_pad.dtype != tiles.dtype:
-            v_pad = v_pad.astype(tiles.dtype)
-        (slabs,) = chunk_slabs(v_pad, C=C, split=False,
-                               interpret=interpret)
-    S = P // U
-    slab_width = 2 * C if split else C
-
-    def slab_spec(u):
-        return pl.BlockSpec(
-            (1, k, slab_width),
-            lambda s, pb, pc, u=u: (pc[s * U + u], 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # pb, pc
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((U, R, C2), lambda s, pb, pc: (s, 0, 0)),
-            *[slab_spec(u) for u in range(U)],
-        ],
-        # HBM explicitly, NOT pl.ANY: Mosaic places small ANY-space
-        # outputs in VMEM, whose (1, 128) tiling rejects the manual
-        # flush DMA's (R, k) slice when k < 128 ("Slice shape along
-        # dimension 2 must be aligned to tiling (128)" — the round-3
-        # U>2 hardware compile failure, /tmp/tpu_meshcheck.log r4).
-        # HBM refs are untiled, so leading-dim slices are always legal.
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((R, k), jnp.float32),   # accumulator
-            pltpu.VMEM((R, k), jnp.float32),   # DMA staging
-            pltpu.SMEM((1,), jnp.int32),       # current block
-            pltpu.SMEM((1,), jnp.int32),       # outstanding-copy block
-            pltpu.SMEM((1,), jnp.int32),       # outstanding-copy flag
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    kernel = functools.partial(
-        _kernel_multi, U=U, C=C, split=split,
-        f32_highest=tiles.dtype == jnp.float32)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, R, k), jnp.float32),
-        interpret=interpret,
-    )(pair_block, pair_chunk, tiles, *([slabs] * U))
-    return out.reshape(nb * R, k)
 
 
 def _dot_kc_cr(a, b):
@@ -351,8 +206,9 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
                    split: bool):
     """Transposed-state U-pairs-per-step kernel.
 
-    Same control structure as ``_kernel_multi`` (SMEM current-block
-    tracking, staged async flush on block change), but every on-chip
+    Control structure: SMEM current-block tracking with a staged async
+    flush on block change (steps span block runs freely — only a global
+    tail pad to a U-multiple is required of the format). Every on-chip
     array keeps the 128-wide tile dimension MINOR so the manual flush
     DMA is tiling-legal: Mosaic stores HBM/VMEM arrays in (8, 128)
     (f32) / (16, 128) (bf16) tiles and a manual ``memref_slice`` whose
@@ -448,6 +304,13 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
     if P % U:
         raise ValueError(
             f"pair count {P} not a multiple of pairs_per_step {U}")
+    if not split and tiles_t.dtype == jnp.float32:
+        # The non-split dot runs at DEFAULT precision; on f32 operands
+        # the MXU would silently truncate to bf16 (~1e-3 error on
+        # multi-term rows). f32 data must ship as split planes.
+        raise ValueError(
+            "tmulti split=False requires bf16 operands; f32 tiles must "
+            "use the sublane-packed hi/lo split planes (split=True)")
     if k8 % 8:
         raise ValueError(f"slab row dim {k8} must be a sublane multiple")
     if not interpret and R % 128:

@@ -75,8 +75,14 @@ class WindowedRowOperand:
     pairs AND satisfy the Pallas kernel's pad contract for
     ``pairs_per_step`` (even per-block runs at 2;
     ``P_max % pairs_per_step == 0`` ascending-tail at >2).
-    ``tiles_split`` carries the lane-packed bf16 hi|lo planes for f32
-    data (the 3-pass production kernel's operand; None otherwise).
+    ``tiles_split`` carries the kernel's tile-plane operand:
+    at ``pairs_per_step <= 2`` the lane-packed bf16 hi|lo planes
+    ``(P, R, 2C)`` for f32 data (None for bf16); at ``> 2`` the
+    TRANSPOSED planes for the tmulti kernel — ``(P, 2C, R)`` bf16
+    sublane-packed hi/lo for f32, ``(P, C, R)`` plain transposed for
+    bf16 (``ops/pallas_windowed.py::windowed_matmul_tmulti``; the
+    natural-layout U>2 kernel cannot compile on hardware — its flush
+    DMA minor dim k violates the 128 memref tiling).
 
     ``input_mode`` records how the fat vector travels: ``replicate``
     keeps GLOBAL chunk/column indices; ``halo`` keeps indices REBASED
@@ -115,6 +121,17 @@ class WindowedRowOperand:
         if self.inv_perm is None:
             return out_p
         return jnp.take(out_p, self.inv_perm, axis=0)
+
+
+def _tile_planes(tiles, U: int):
+    """The kernel tile-plane operand shipped in ``tiles_split``:
+    lane-packed split planes at U <= 2 (f32 only), transposed planes at
+    U > 2 (both dtypes — the tmulti kernel's layout)."""
+    if U <= 2:
+        return _split_planes(tiles)
+    sp = _split_planes(tiles)
+    src = sp if sp is not None else tiles
+    return np.ascontiguousarray(np.asarray(src).swapaxes(1, 2))
 
 
 def _pad_device_pairs(tl, pcd, pbd, nb_loc: int, P_max: int, U: int,
@@ -364,7 +381,7 @@ class WindowedRowWise(Strategy):
 
         return WindowedRowOperand(
             tiles=put(tiles, P(ax, None, None)),
-            tiles_split=put(_split_planes(tiles), P(ax, None, None)),
+            tiles_split=put(_tile_planes(tiles, U), P(ax, None, None)),
             pair_chunk=put(pair_chunk, P(ax)),
             pair_pos=put(pair_pos, P(ax)),
             block_ptr=put(block_ptr, P(ax, None)),
@@ -588,9 +605,15 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
     from ..utils.backend import on_cpu_backend
 
     on_cpu = on_cpu_backend()
+    interp = bool(on_cpu)
     k_pad = (-k) % 8
     use_pallas = (not on_cpu or mode == "interpret") and mode != "xla" \
         and (k % 8 == 0 or k >= KPAD_MIN_K)
+    if pairs_per_step > 2 and not interp and R % 128:
+        # Compiled tmulti's manual flush DMA needs a 128-multiple minor
+        # dim; sub-128 R falls back to the einsum path (correct, and
+        # such tilings only arise from explicitly pinned block_rows).
+        use_pallas = False
     C = tiles_blk.shape[2]
     n_chunks = v_full.shape[0] // C
     has_split = tiles_split_blk is not None and tiles_split_blk.size
@@ -604,20 +627,24 @@ def _local_windowed(tiles_blk, tiles_split_blk, pc_blk, pos_blk, ptr_blk,
         return out[:, :k]
     if use_pallas:
         from ..ops.pallas_windowed import (
-            windowed_matmul_multi, windowed_matmul_pallas,
-            windowed_matmul_split3,
+            chunk_slabs, windowed_matmul_pallas, windowed_matmul_split3,
+            windowed_matmul_tmulti,
         )
 
-        interp = bool(on_cpu)
         if pairs_per_step > 2:
-            split = bool(has_split) and tiles_blk.dtype == jnp.float32
-            out = windowed_matmul_multi(
-                pos_blk, pc_blk,
-                tiles_split_blk if split else tiles_blk,
-                v_full, nb=nb_loc, pairs_per_step=pairs_per_step,
+            # tiles_split_blk holds the TRANSPOSED planes at U > 2
+            # (_tile_planes): (P, 2C, R) bf16 split for f32 data,
+            # (P, C, R) for bf16.
+            split = tiles_blk.dtype == jnp.float32
+            slab_dtype = jnp.float32 if split else tiles_blk.dtype
+            (slabs,) = chunk_slabs(v_full.astype(slab_dtype), C=C,
+                                   split=split, interpret=interp)
+            out_t = windowed_matmul_tmulti(
+                pos_blk, pc_blk, tiles_split_blk, slabs,
+                nb=nb_loc, pairs_per_step=pairs_per_step,
                 split=split, interpret=interp,
-            )
-            return out.reshape(nb_loc * R, k)
+            )  # (nb_loc, k, R)
+            return jnp.swapaxes(out_t, 1, 2).reshape(nb_loc * R, k)
         if has_split and tiles_blk.dtype == jnp.float32:
             out = windowed_matmul_split3(
                 pos_blk, pc_blk, tiles_split_blk, v_full,

@@ -246,15 +246,36 @@ def test_step_scalars_even_runs():
     assert first.sum() == wp.n_blocks
 
 
+def _tmulti_raw(wp, v_p, U, *, split=True):
+    """Compose the raw transposed U-pair kernel the way the dispatch
+    does: pad the pair list, transpose the planes, build slabs, run,
+    transpose back."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        _pad_pairs_multi, chunk_slabs, windowed_matmul_tmulti,
+    )
+
+    src = wp.tiles_split if split else wp.tiles
+    pb, pc, ts = _pad_pairs_multi(
+        wp.pair_block, wp.pair_chunk, src, wp.n_blocks, U)
+    assert len(pb) % U == 0
+    ts_t = jnp.swapaxes(jnp.asarray(ts), 1, 2)
+    slab_dtype = jnp.float32 if split else wp.tiles.dtype
+    (slabs,) = chunk_slabs(v_p.astype(slab_dtype), C=wp.chunk_cols,
+                           split=split, interpret=True)
+    out_t = windowed_matmul_tmulti(
+        jnp.asarray(pb), jnp.asarray(pc), ts_t, slabs,
+        nb=wp.n_blocks, pairs_per_step=U, split=split, interpret=True)
+    k = out_t.shape[1]
+    return jnp.swapaxes(out_t, 1, 2).reshape(wp.n_blocks * wp.block_rows,
+                                             k)
+
+
 @pytest.mark.parametrize("U", [4, 8])
 def test_windowed_multi_pair_kernel_matches_oracle(U):
-    """U-pairs-per-step scratch-accumulator kernel (interpret mode):
-    steps span block boundaries freely; only a global <=U-1 zero-tile
-    tail pad is required. Differential vs the host f64 oracle with the
-    spill path composed via _finish."""
-    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
-        _pad_pairs_multi, windowed_matmul_multi,
-    )
+    """U-pairs-per-step transposed kernel (interpret mode): steps span
+    block boundaries freely; only a global <=U-1 zero-tile tail pad is
+    required. Differential vs the host f64 oracle with the spill path
+    composed via _finish."""
     from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
 
     csr = fem3d_csr(2000, 40000, seed=151).astype(jnp.float32)
@@ -263,38 +284,43 @@ def test_windowed_multi_pair_kernel_matches_oracle(U):
     v = generate_fat_vector(csr.shape[1], 8, seed=152).astype(np.float32)
     oracle = spmm_host_f64(csr, v)
     v_p = wp.encode(jnp.asarray(v))
-    pb, pc, ts = _pad_pairs_multi(
-        wp.pair_block, wp.pair_chunk, wp.tiles_split, wp.n_blocks, U)
-    assert len(pb) % U == 0
-    out = windowed_matmul_multi(
-        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
-        nb=wp.n_blocks, pairs_per_step=U, split=True, interpret=True)
+    out = _tmulti_raw(wp, v_p, U)
     got = np.asarray(wp.decode(_finish(wp, out, v_p)))
     rel = np.abs(got - oracle).max() / np.abs(oracle).max()
     assert rel < 5e-3  # documented f32 split3 tier
 
 
-def test_windowed_multi_pair_plain_f32_exact():
-    """Single-plane f32 HIGHEST mode of the multi-pair kernel is exact on
-    integer-valued data (no bf16 split involved)."""
+def test_windowed_multi_pair_bf16_exact_small_ints():
+    """Single-plane bf16 mode is exact on small-integer data (products
+    exact in bf16, f32 accumulator). f32 single-plane is REJECTED by the
+    kernel (DEFAULT dot would truncate silently)."""
     from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
-        _pad_pairs_multi, windowed_matmul_multi,
+        _pad_pairs_multi, chunk_slabs, windowed_matmul_tmulti,
     )
     from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
 
-    csr = banded_csr(600, 20, 7, seed=153).astype(jnp.float32)
+    csr = banded_csr(600, 20, 7, seed=153).astype(jnp.bfloat16)
     wp = WindowedPairs.from_csr(csr, block_rows=16, chunk_cols=128)
     assert wp is not None
     v = generate_fat_vector(csr.shape[1], 16, seed=154).astype(np.float32)
     oracle = spmm_host_f64(csr, v)
-    v_p = wp.encode(jnp.asarray(v))
-    pb, pc, ts = _pad_pairs_multi(
-        wp.pair_block, wp.pair_chunk, wp.tiles, wp.n_blocks, 8)
-    out = windowed_matmul_multi(
-        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
-        nb=wp.n_blocks, pairs_per_step=8, split=False, interpret=True)
+    v_p = wp.encode(jnp.asarray(v, jnp.bfloat16))
+    out = _tmulti_raw(wp, v_p, 8, split=False)
     got = np.asarray(wp.decode(_finish(wp, out, v_p)))
     np.testing.assert_allclose(got, oracle, atol=1e-4)
+
+    # f32 single-plane guard
+    pb, pc, ts = _pad_pairs_multi(
+        wp.pair_block, wp.pair_chunk,
+        np.asarray(wp.tiles, np.float32), wp.n_blocks, 8)
+    (slabs,) = chunk_slabs(v_p.astype(jnp.float32), C=wp.chunk_cols,
+                           split=False, interpret=True)
+    with pytest.raises(ValueError, match="split"):
+        windowed_matmul_tmulti(
+            jnp.asarray(pb), jnp.asarray(pc),
+            jnp.swapaxes(jnp.asarray(ts), 1, 2), slabs,
+            nb=wp.n_blocks, pairs_per_step=8, split=False,
+            interpret=True)
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
@@ -321,9 +347,6 @@ def test_windowed_multi_pair_many_flushes_per_step():
     """R=8 blocks on a narrow band make pair runs of ~1-2 per block, so a
     U=8 step crosses several block boundaries — stressing the in-step
     flush sequencing (stage reuse waits the previous DMA)."""
-    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
-        _pad_pairs_multi, windowed_matmul_multi,
-    )
     from sparsematrixmultiplicationmpi_tpu.ops.windowed import _finish
 
     csr = banded_csr(800, 30, 10, seed=171).astype(jnp.float32)
@@ -337,11 +360,7 @@ def test_windowed_multi_pair_many_flushes_per_step():
     v = generate_fat_vector(csr.shape[1], 8, seed=172).astype(np.float32)
     oracle = spmm_host_f64(csr, v)
     v_p = wp.encode(jnp.asarray(v))
-    pb, pc, ts = _pad_pairs_multi(
-        wp.pair_block, wp.pair_chunk, wp.tiles_split, wp.n_blocks, 8)
-    out = windowed_matmul_multi(
-        jnp.asarray(pb), jnp.asarray(pc), jnp.asarray(ts), v_p,
-        nb=wp.n_blocks, pairs_per_step=8, split=True, interpret=True)
+    out = _tmulti_raw(wp, v_p, 8)
     got = np.asarray(wp.decode(_finish(wp, out, v_p)))
     rel = np.abs(got - oracle).max() / np.abs(oracle).max()
     assert rel < 5e-3
