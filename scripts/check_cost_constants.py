@@ -69,8 +69,14 @@ def measure_tile_fit(dev):
     points = []
     for R, C in ((256, 256), (512, 256)):
         t0 = time.time()
+        # Calibration shapes are pinned for the two-point fit; disable
+        # the economic guards so the cost model can't refuse them (the
+        # round-4 queue run died here: (512,256) inflates ~200x on the
+        # stand-in and tripped max_inflation).
         wp = WindowedPairs.from_csr(csr, block_rows=R, chunk_cols=C,
-                                    pairs_per_step=2)
+                                    pairs_per_step=2,
+                                    max_inflation=1e9,
+                                    beat_gather_margin=1e9)
         assert wp is not None, (R, C)
         wp = dataclasses.replace(wp, spill=None)
         wp = jax.device_put(wp, dev)

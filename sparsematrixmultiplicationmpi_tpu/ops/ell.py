@@ -25,12 +25,15 @@ from ..formats.matrix import ELL, BucketedELL
 __all__ = ["spmm_ell", "spmm_bucketed", "take_rows"]
 
 #: Route ELL planes through the explicit-DMA Pallas gather kernel
-#: (``ops/pallas_gather.py``) instead of XLA's take. Flip to True only
-#: if ``scripts/exp_spill_gather.py`` measures it beating the ~4.8
-#: ns/row XLA gather on hardware (VERDICT r2 #5 decision rule) — the
-#: production wiring below is interpret-tested either way. Read at
-#: trace time: tests overriding it must use fresh shapes or
-#: ``jax.clear_caches()``.
+#: (``ops/pallas_gather.py``) instead of XLA's take. DECIDED on real
+#: v5e hardware (scripts/exp_spill_gather.py, 2026-08-19,
+#: results/spill_gather_decision.json): the DMA kernel LOSES — 16.0
+#: ns/row end-to-end in spmm_ell vs 4.7 for the XLA take; per-config
+#: it only ties XLA in its best case (3.6 vs 3.7 ns/row at
+#: Rt=92k/W=1/T=32, within run variance). Per-row DMA issue cost is the
+#: same scalar-core wall the gather was meant to escape. Stays False;
+#: the kernel remains as the A/B hook. Read at trace time: tests
+#: overriding it must use fresh shapes or ``jax.clear_caches()``.
 SPILL_DMA_GATHER = False
 
 
