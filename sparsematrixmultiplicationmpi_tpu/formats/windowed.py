@@ -267,16 +267,18 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                 f"chunk_cols must be a multiple of 128, got {c_cand}")
         if r_cand % 8 or r_cand > max(m, 8):
             continue
-        if (pairs_per_step > 2 and block_rows is None and r_cand % 128
-                and m >= 128):
-            # U>2 formats run the transposed kernel, whose compiled
-            # flush DMA needs R % 128 == 0; an auto-searched sub-128 R
-            # would silently fall back to the XLA path on hardware.
-            # Explicitly pinned block_rows stays allowed (tests/tiny
-            # matrices use it with interpret mode).
-            continue
         if (r_cand, c_cand) not in tile_shapes:
             tile_shapes.append((r_cand, c_cand))
+    if pairs_per_step > 2 and block_rows is None:
+        # U>2 formats run the transposed kernel, whose compiled flush
+        # DMA needs R % 128 == 0; an auto-searched sub-128 R would
+        # silently fall back to the XLA path on hardware. Prefer
+        # kernel-eligible shapes, but keep the caller's list when none
+        # qualify (tiny matrices / explicit candidate sets — the
+        # dispatch falls back correctly).
+        eligible = [(r, c) for r, c in tile_shapes if r % 128 == 0]
+        if eligible:
+            tile_shapes = eligible
     if not tile_shapes and block_rows is not None:
         tile_shapes = [(int(block_rows), int(chunk_cols or 128))]
 

@@ -93,3 +93,61 @@ def test_cli_run_synthetic(capsys):
 def test_cli_info(capsys):
     assert cli_main(["info"]) == 0
     assert "devices: " in capsys.readouterr().out
+
+
+def test_comparator_condition_scale_cancellation():
+    """A catastrophically cancelling row must pass under the forward-
+    error bound (tol * sum|terms|) while staying strict without it —
+    the round-4 TPU sweep's powerlaw_100k k=12 false MISMATCH class."""
+    import numpy as np
+
+    from sparsematrixmultiplicationmpi_tpu.utils.compare import (
+        are_matrices_equal,
+    )
+
+    oracle = np.array([[1e4], [-1.19]])          # row 2 cancels heavily
+    got = np.array([[1e4 + 1.0], [-1.18]])       # abs err 0.01 on row 2
+    cond = np.array([[1e4], [1.2e4]])            # sum|a_i v_i| per row
+    tol = 5e-3
+    # |result|-relative alone: row 2 needs <= 5e-3*max(1.19,1) -> FAIL
+    assert not are_matrices_equal(got, oracle, tolerance=tol,
+                                  relative=True)
+    # condition-aware: row 2 allowed 5e-3 * 1.2e4 = 60 -> PASS
+    assert are_matrices_equal(got, oracle, tolerance=tol, relative=True,
+                              condition_scale=cond)
+    # a GENUINE error on a non-cancelling row still fails either way
+    bad = np.array([[1.1e4], [-1.19]])
+    assert not are_matrices_equal(bad, oracle, tolerance=tol,
+                                  relative=True, condition_scale=cond)
+
+
+def test_run_benchmark_cancelling_matrix_passes():
+    """End-to-end: a signed matrix with a cancelling hub row is judged
+    correct by run_benchmark's condition-aware check on every strategy
+    path (CPU; the f32 XLA result is numerically optimal yet outside the
+    naive |result|-relative band)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsematrixmultiplicationmpi_tpu.bench.harness import (
+        run_benchmark,
+    )
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import COO
+    from sparsematrixmultiplicationmpi_tpu.parallel import Auto, make_mesh
+
+    rng = np.random.default_rng(7)
+    m = 256
+    # hub row 0: 200 large cancelling terms; rows 1.. carry a diagonal
+    # (no duplicate coordinates — CSR forbids them)
+    hub_cols = rng.choice(m, size=200, replace=False)
+    hub_vals = rng.normal(0.0, 5e3, size=200)
+    hub_vals[-1] -= hub_vals.sum()  # force near-total cancellation
+    rows = np.concatenate([np.zeros(200, np.int64), np.arange(1, m)])
+    cols = np.concatenate([hub_cols, np.arange(1, m)])
+    vals = np.concatenate([hub_vals, np.ones(m - 1)])
+    csr = COO.from_arrays(vals.astype(np.float32), rows, cols,
+                          (m, m)).to_csr()
+    rec = run_benchmark(csr, 4, Auto(), make_mesh(1),
+                        matrix_name="cancelling", warmup=0, iters=1,
+                        check=True, dtype=jnp.float32)
+    assert rec.correct, f"max_error={rec.max_error}"
