@@ -136,6 +136,11 @@ class BandedBlocks:
         i = np.asarray(coo.row_indices).astype(np.int64)
         j = np.asarray(coo.col_indices).astype(np.int64)
         vals = np.asarray(coo.values)
+        from .matrix import coalesce_coo
+
+        # The band scatter below assigns — duplicate coordinates must be
+        # summed first to match the oracle/gather semantics.
+        i, j, vals = coalesce_coo(i, j, vals, n)
         b = i // r
         w = j - (b - 1) * r
         in_band = (w >= 0) & (w < 3 * r)

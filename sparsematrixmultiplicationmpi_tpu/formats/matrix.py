@@ -36,7 +36,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["CSR", "COO", "ELL", "BucketedELL"]
+__all__ = ["CSR", "COO", "ELL", "BucketedELL", "coalesce_coo"]
+
+
+def coalesce_coo(i, j, vals, n: int):
+    """Sum duplicate (row, col) coordinates — required before any
+    DENSIFYING build (windowed tiles, banded blocks), whose scatter is an
+    assignment: a duplicate entry would silently overwrite instead of
+    accumulate, diverging from the oracle and every gather path (which
+    sum duplicates naturally, matching ``CSR.to_dense``). No-op (and
+    cheap: one uniqueness check) on canonical inputs."""
+    key = i.astype(np.int64) * n + j
+    uniq, first, inverse = np.unique(key, return_index=True,
+                                     return_inverse=True)
+    if len(uniq) == len(key):
+        return i, j, vals
+    summed = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(summed, inverse, vals.astype(np.float64))
+    return (i[first], j[first], summed.astype(vals.dtype))
 
 
 def _static_field(**kwargs):

@@ -214,8 +214,12 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
     ``pc_raw``/``tiles_raw`` are the P_raw dense tiles in ascending
     (block, chunk) order and ``spill_idx`` indexes the entries of
     ``(i, j, vals)`` that fall below the dense threshold. Shared by
-    ``WindowedPairs.from_csr`` (block-run pointers on top) and the row-sharded
-    distributed strategy (device-range splitting on top).
+    ``WindowedPairs.from_csr`` (block-run pointers on top) and the
+    row-sharded distributed strategy (device-range splitting on top).
+
+    ``(i, j)`` must be duplicate-free (``coalesce_coo``): the dense-tile
+    scatter assigns, so a duplicate coordinate would overwrite instead
+    of accumulate.
     """
     n_chunks = -(-n // C)
     _, _, dense, uniq, counts = windowed_cost_estimate(
@@ -507,6 +511,9 @@ class WindowedPairs:
         i0 = np.asarray(coo.row_indices).astype(np.int64)
         j0 = np.asarray(coo.col_indices).astype(np.int64)
         vals = np.asarray(coo.values)
+        from .matrix import coalesce_coo
+
+        i0, j0, vals = coalesce_coo(i0, j0, vals, n)
 
         best = _search_tilings(
             csr, i0, j0, block_rows=block_rows, chunk_cols=chunk_cols,

@@ -217,6 +217,11 @@ class WindowedRowWise(Strategy):
         i = np.asarray(coo.row_indices).astype(np.int64)
         j = np.asarray(coo.col_indices).astype(np.int64)
         vals = np.asarray(coo.values)
+        from ..formats.matrix import coalesce_coo
+
+        # Densifying scatter below assigns — duplicates must be summed
+        # first (gather paths and the oracle sum them naturally).
+        i, j, vals = coalesce_coo(i, j, vals, n)
 
         perm = inv_perm = None
         if self.reorder == "auto" and m == n:

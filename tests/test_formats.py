@@ -136,3 +136,60 @@ def test_astype(rng):
     f32 = csr.astype(jnp.float32)
     assert f32.values.dtype == jnp.float32
     assert f32.col_indices.dtype == jnp.int32
+
+
+def test_duplicate_coordinates_sum_in_densifying_formats():
+    """CSR tolerates duplicate (row, col) entries (the oracle and every
+    gather path SUM them — matching to_dense); densifying builds
+    (windowed tiles, banded blocks) scatter by assignment and must
+    coalesce first or silently drop values."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sparsematrixmultiplicationmpi_tpu.formats.banded import (
+        BandedBlocks,
+    )
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import COO
+    from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
+        WindowedPairs,
+    )
+    from sparsematrixmultiplicationmpi_tpu.io.generate import (
+        banded_csr, generate_fat_vector,
+    )
+    from sparsematrixmultiplicationmpi_tpu.ops.oracle import spmm_host_f64
+
+    base = banded_csr(256, 10, 4, seed=31).astype(np.float32)
+    coo = base.to_coo()
+    i = np.asarray(coo.row_indices)
+    j = np.asarray(coo.col_indices)
+    v = np.asarray(coo.values)
+    # duplicate the first 50 entries with different values
+    dup = COO.from_arrays(
+        np.concatenate([v, 10.0 + v[:50]]),
+        np.concatenate([i, i[:50]]),
+        np.concatenate([j, j[:50]]), base.shape,
+    ).to_csr()
+    vec = jnp.asarray(generate_fat_vector(dup.shape[1], 4, seed=32),
+                      jnp.float32)
+    oracle = spmm_host_f64(dup, vec)
+    scale = np.abs(oracle).max()
+
+    wp = WindowedPairs.from_csr(dup, block_rows=16, chunk_cols=128,
+                                beat_gather_margin=1e9,
+                                max_inflation=1e9)
+    out_w = np.asarray(wp @ vec)
+    assert np.abs(out_w - oracle).max() / scale < 5e-3
+
+    bb = BandedBlocks.from_csr(dup, block_rows=16)
+    out_b = np.asarray(bb @ vec)
+    assert np.abs(out_b - oracle).max() / scale < 5e-3
+
+    from sparsematrixmultiplicationmpi_tpu.parallel import make_mesh
+    from sparsematrixmultiplicationmpi_tpu.parallel.windowed_strategy \
+        import WindowedRowWise
+
+    mesh = make_mesh(2)
+    strat = WindowedRowWise(block_rows=16, chunk_cols=128)
+    op = strat.prepare(dup, mesh)
+    out_s = np.asarray(strat.spmm(op, vec, mesh))
+    assert np.abs(out_s - oracle).max() / scale < 5e-3
