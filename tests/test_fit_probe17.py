@@ -50,8 +50,8 @@ def test_fit_refuses_thin_or_nonphysical():
     with pytest.raises(ValueError, match="usable records"):
         fp17.fit(_records()[:2])
     bad = _records()
-    for r in bad:  # constant time regardless of steps -> F fits ~0
-        r["ms"] = 1.0
+    for r in bad:  # time FALLING with step count -> negative fitted F
+        r["ms"] = 1e3 / (r["pairs"] / r["U"])
     with pytest.raises(ValueError):
         fp17.fit(bad)
 
