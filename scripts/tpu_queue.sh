@@ -55,7 +55,16 @@ for job in $JOBS; do
     probe16)
       echo "probe16 superseded by probe17 (kernel replaced)" ;;
     probe17)
-      JOB_TIMEOUT=3600 run_job probe17 python scripts/exp_kernel_probe17.py ;;
+      JOB_TIMEOUT=3600 run_job probe17 python scripts/exp_kernel_probe17.py
+      if [ $? -eq 0 ]; then
+        python scripts/fit_probe17.py > /tmp/tpu_probe17_fit.log 2>&1 \
+          && echo "$(date) probe17 fit written to results/probe17_fit.json"
+      fi ;;
+    probe18)
+      JOB_TIMEOUT=3600 run_job probe18 python scripts/exp_kernel_probe18.py ;;
+    sweepfix)
+      python scripts/requeue_mismatches.py
+      JOB_TIMEOUT=7200 run_job sweepfix python scripts/run_results_sweep.py ;;
     constants)
       JOB_TIMEOUT=2400 run_job constants python scripts/check_cost_constants.py ;;
     spillgather)
