@@ -237,9 +237,18 @@ class WindowedRowWise(Strategy):
         if self.block_rows is not None:
             R, C = int(self.block_rows), int(self.chunk_cols or 128)
         else:
+            shapes = [(64, 256), (128, 256), (256, 256), (128, 512),
+                      (256, 512), (8, 128), (32, 128), (128, 128)]
+            if U > 2:
+                # U>2 runs the transposed kernel, whose compiled flush
+                # needs R % 128 == 0 (same preference as the single-chip
+                # format search; sub-128 R would silently hit the einsum
+                # fallback per device).
+                eligible = [s for s in shapes
+                            if s[0] % 128 == 0 and s[0] <= max(m, 8)]
+                shapes = eligible or shapes
             best = None
-            for R_c, C_c in ((64, 256), (128, 256), (256, 256),
-                             (128, 512), (256, 512), (8, 128), (32, 128)):
+            for R_c, C_c in shapes:
                 if R_c % 8 or R_c > max(m, 8):
                     continue
                 est, _, _, _, _ = windowed_cost_estimate(
