@@ -158,7 +158,11 @@ def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
     k_eff = k_nominal
     if k_nominal % 8 and k_nominal >= KPAD_MIN_K:
         k_eff = -(-k_nominal // 8) * 8
-    stream = (R * C * itemsize + C * k_eff * 4) / TILE_STREAM_BW
+    # Tile bytes: R*C*itemsize (f32 ships as two bf16 planes = same
+    # bytes; bf16 ships one). Slab bytes scale the same way: bf16 hi|lo
+    # lane-packed for f32 data (k*2C*2 = k*C*itemsize), single bf16
+    # plane for bf16 data.
+    stream = (R * C + C * k_eff) * itemsize / TILE_STREAM_BW
     return TILE_OVERHEAD_S * 2 / pairs_per_step + stream
 
 
