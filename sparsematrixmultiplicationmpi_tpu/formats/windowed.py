@@ -84,10 +84,21 @@ GATHER_S_PER_ROW = 4.8e-9
 TILE_OVERHEAD_S = 191e-9
 TILE_STREAM_BW = 758e9
 #: Kernel generation new builds target: 2 = two-pair kernel with even
-#: per-block runs; >2 = U-pair scratch-accumulator kernel
+#: per-block runs; >2 = transposed U-pair kernel
 #: (``ops/pallas_windowed.py::windowed_matmul_tmulti``), global tail pad
-#: only. Flip after probe16 measurements on real hardware.
-PRODUCTION_PAIRS_PER_STEP = 2
+#: only. FLIPPED to 16 from real-v5e probe17 (2026-08-19,
+#: results/probe17_tmulti.json): (128,128) U=16 measured 1.458 ms on the
+#: cop20k stand-in vs 2.754 ms for the shipped U=2 split3 — 1.89x.
+#: U=32 regresses (2.18 ms: 32 double-buffered slab streams blow the
+#: VMEM budget).
+PRODUCTION_PAIRS_PER_STEP = 16
+#: tmulti cost-model constants, fit on probe17's U=8/16 points at
+#: (128,128) with the streamed-bytes term held at TILE_STREAM_BW
+#: (reproduces both measured per-pair costs to 0.1 ns; U=4 is
+#: overestimated — harmless, production is 16):
+#:   cost/pair = TMULTI_STEP_S/U + TMULTI_PAIR_S + bytes/TILE_STREAM_BW
+TMULTI_STEP_S = 77e-9
+TMULTI_PAIR_S = 29e-9
 #: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
 #: over m rows plus the full-size add (419 us measured at m=121k, k=32 —
 #: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
@@ -145,13 +156,15 @@ def _tiles_t(tiles, tiles_split):
 
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
                  pairs_per_step: int = 2) -> float:
-    """Cost of one dense tile: fixed per-tile overhead plus tile and
+    """Cost of one dense tile: fixed overheads plus tile and
     fat-vector-slab bytes at the measured kernel streaming rate.
 
-    The fixed cost is per GRID STEP (~2x191 ns at the two-pair kernel's
-    fit), so U pairs per step divide it: per-tile overhead =
-    ``TILE_OVERHEAD_S * 2 / pairs_per_step``. Refit against probe16 when
-    hardware numbers land.
+    U <= 2 (two-pair kernel, probe14 fit): per-step fixed cost
+    ``2*TILE_OVERHEAD_S`` split across the step's two pairs. U > 2
+    (transposed kernel, probe17 fit): per-step ``TMULTI_STEP_S`` divided
+    by U plus a per-pair issue cost ``TMULTI_PAIR_S`` (scalar-core work
+    per dynamic slab fetch + dots — the binding constant for fine
+    tiles).
 
     Sub-sublane ``k_nominal`` >= ``KPAD_MIN_K`` is priced at the padded
     width the kernel actually streams (the k-pad route)."""
@@ -163,6 +176,9 @@ def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
     # lane-packed for f32 data (k*2C*2 = k*C*itemsize), single bf16
     # plane for bf16 data.
     stream = (R * C + C * k_eff) * itemsize / TILE_STREAM_BW
+    if pairs_per_step > 2:
+        return (TMULTI_STEP_S / pairs_per_step + TMULTI_PAIR_S
+                + stream)
     return TILE_OVERHEAD_S * 2 / pairs_per_step + stream
 
 
