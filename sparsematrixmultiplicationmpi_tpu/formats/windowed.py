@@ -112,6 +112,16 @@ SPILL_RESTORE_S_PER_ROW = 3.5e-9
 #: the padded slab traffic accordingly. Re-tune against
 #: scripts/exp_kpad_windowed.py when hardware numbers land.
 KPAD_MIN_K = 12
+#: Densification memory guards (v5e HBM = 16 GB; tiles ship together
+#: with equal-size split/transposed planes, so the true footprint is
+#: ~2x the tile array). Below ``DENSE_BYTES_ALLOWANCE`` the
+#: ``max_inflation`` RATIO is not enforced — the cost model already
+#: prices the streamed bytes, and on tiny-nnz diffuse matrices
+#: (roadnet class: 6 MB of nnz) a 197x ratio is a harmless 1.2 GB that
+#: measured 8x faster than every gather path. ``DENSE_BYTES_HARD_CAP``
+#: always binds (a ratio-passing 100M-nnz build could otherwise OOM).
+DENSE_BYTES_ALLOWANCE = 2_000_000_000
+DENSE_BYTES_HARD_CAP = 6_000_000_000
 
 
 def _split_planes(tiles):
@@ -267,13 +277,23 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                     candidates=DEFAULT_CANDIDATES, k_nominal: int = 32,
                     max_inflation: float = 96.0,
                     beat_gather_margin: float = 0.8,
-                    pairs_per_step: int = 2):
+                    pairs_per_step: int = 2,
+                    gather_baseline_s: Optional[float] = None):
     """Cost-model search over tile shapes x orderings (host-side numpy).
 
     Returns the winning ``(est, R, C, perm, i, j, dense, uniq, counts)``
-    tuple, or ``None`` when no configuration beats the pure gather-path
-    estimate by ``beat_gather_margin`` (or no tile clears the dense
+    tuple, or ``None`` when no configuration beats the gather-path
+    baseline by ``beat_gather_margin`` (or no tile clears the dense
     threshold) — the caller then falls back to a gather format.
+
+    ``gather_baseline_s`` is the seconds-per-SpMM the caller's actual
+    gather alternative would cost (``ops/auto.py::
+    gather_class_estimates``); default is the legacy optimistic
+    ``nnz * GATHER_S_PER_ROW``. The distinction matters on diffuse
+    high-m matrices (roadnet class): the legacy baseline is ~4-10x
+    rosier than any real gather path there, so the gate refused tilings
+    that beat every real alternative by 8x (round-4 TPU sweep: windowed
+    9.9 ms vs the COO fallback's 80 ms).
     """
     m, n = csr.shape
     itemsize = np.asarray(csr.values).dtype.itemsize
@@ -316,7 +336,8 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
         inv[perm] = np.arange(m)
         orderings.append((perm, inv[i0], inv[j0]))
 
-    gather_est = csr.nnz * GATHER_S_PER_ROW  # pure-ELL estimate
+    gather_est = (gather_baseline_s if gather_baseline_s is not None
+                  else csr.nnz * GATHER_S_PER_ROW)
     best = None
     for perm, i, j in orderings:
         for R, C_cand in tile_shapes:
@@ -325,7 +346,10 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                 pairs_per_step,
             )
             tile_bytes = int(dense.sum()) * R * C_cand * itemsize
-            if tile_bytes > max_inflation * csr.nnz * itemsize:
+            if tile_bytes > DENSE_BYTES_HARD_CAP:
+                continue
+            if (tile_bytes > max_inflation * csr.nnz * itemsize
+                    and tile_bytes > DENSE_BYTES_ALLOWANCE):
                 continue
             if best is None or est < best[0]:
                 best = (est, R, C_cand, perm, i, j, dense, uniq, counts)
@@ -498,7 +522,8 @@ class WindowedPairs:
                  k_nominal: int = 32,
                  max_inflation: float = 96.0,
                  beat_gather_margin: float = 0.8,
-                 pairs_per_step: Optional[int] = None
+                 pairs_per_step: Optional[int] = None,
+                 gather_baseline_s: Optional[float] = None,
                  ) -> Optional["WindowedPairs"]:
         """Build windowed storage; returns ``None`` when no tile
         configuration beats the pure gather path by ``beat_gather_margin``
@@ -541,6 +566,7 @@ class WindowedPairs:
             max_inflation=max_inflation,
             beat_gather_margin=beat_gather_margin,
             pairs_per_step=pairs_per_step,
+            gather_baseline_s=gather_baseline_s,
         )
         if best is None:
             return None

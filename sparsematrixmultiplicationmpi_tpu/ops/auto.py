@@ -101,10 +101,14 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
     # the general windowed tiles and the 3-block band specialization
     # (strictly cheaper per byte when the band alone covers the matrix —
     # round-2: auto picking windowed over banded on a pure-band SPD
-    # system measured 1.5x slower CG iterations).
-    wp = WindowedPairs.from_csr(
-        csr, reorder=reorder, **_route(WindowedPairs.from_csr)
-    )
+    # system measured 1.5x slower CG iterations). The windowed build
+    # gate compares against THIS caller's real gather alternative, not
+    # its legacy nnz*4.8ns baseline — on diffuse high-m matrices
+    # (roadnet class) the legacy baseline refused tilings that beat
+    # every real gather path by 8x (round-4 TPU sweep).
+    wp_kwargs = _route(WindowedPairs.from_csr)
+    wp_kwargs.setdefault("gather_baseline_s", best_gather)
+    wp = WindowedPairs.from_csr(csr, reorder=reorder, **wp_kwargs)
     bb = BandedBlocks.from_csr(csr, **_route(BandedBlocks.from_csr))
     dense_candidates = [f for f in (wp, bb) if f is not None]
     if dense_candidates:

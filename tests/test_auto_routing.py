@@ -77,3 +77,22 @@ def test_heavy_skew_small_k_routes_to_coo():
     assert isinstance(f, (COO, BucketedELL, WindowedPairs)), type(f)
     if isinstance(f, (COO, BucketedELL)):
         _check(f, csr)
+
+
+def test_auto_routes_diffuse_planar_to_windowed():
+    """Roadnet-class routing (round-4 TPU sweep regression): auto's
+    windowed build gate must compare against the caller's REAL gather
+    estimate, and the inflation RATIO must not veto small-byte builds —
+    on the full roadnet stand-in the refused windowed path measured
+    9.9 ms vs the COO fallback's 80 ms on hardware."""
+    import numpy as np
+
+    from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
+        WindowedPairs,
+    )
+    from sparsematrixmultiplicationmpi_tpu.io.generate import roadnet_like
+    from sparsematrixmultiplicationmpi_tpu.ops.auto import auto_format
+
+    csr = roadnet_like(scale=0.1).astype(np.float32)
+    op = auto_format(csr, k_nominal=6)
+    assert isinstance(op, WindowedPairs), type(op).__name__
