@@ -88,7 +88,7 @@ class BandedBlocks:
                  candidates=(128, 256, 512), min_coverage: float = 0.5,
                  max_inflation: float = 64.0,
                  hbm_bw: float = 819e9,
-                 gather_ns_per_row: float = 4.8,
+                 gather_ns_per_row: float = 1.6,
                  k_nominal: int = 32) -> Optional["BandedBlocks"]:
         """Build band-dense storage, choosing ``block_rows`` by a measured
         TPU cost model: estimated time = dense-band streaming traffic at HBM

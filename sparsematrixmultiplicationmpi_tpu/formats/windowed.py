@@ -80,7 +80,12 @@ DEFAULT_CANDIDATES = ((64, 256), (128, 256), (256, 256),
 #: overhead-bound and the cost model sizes tiles to balance coverage
 #: against the fixed cost.
 HBM_BW = 819e9
-GATHER_S_PER_ROW = 4.8e-9
+#: Re-measured 2026-08-19 on the round-4 chip/runtime: 1.53-1.57 ns/row
+#: in two independent runs (scripts/check_cost_constants.py,
+#: results/cost_constants_check.json) vs the round-1 4.8. The cop20k
+#: dense/spill split is insensitive to the change (zero spill either
+#: way — the fixed m-row restore dominates marginal decisions).
+GATHER_S_PER_ROW = 1.6e-9
 TILE_OVERHEAD_S = 191e-9
 TILE_STREAM_BW = 758e9
 #: Kernel generation new builds target: 2 = two-pair kernel with even
