@@ -208,9 +208,12 @@ def _pair_counts(i, j, R: int, C: int, n_chunks: int):
 
 def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
                            itemsize: int, k_nominal: int = 32,
-                           pairs_per_step: int = 2):
+                           pairs_per_step: int = 2,
+                           allow_spill: bool = True):
     """Estimated per-SpMM seconds for tile size (R, C) with the GLOBAL
     optimal dense/spill split, plus the count threshold and tile stats.
+    ``allow_spill=False`` forces every nonempty tile dense (spill-free
+    builds — e.g. formats that must stay transposed-chain eligible).
 
     Tiles are sorted by nnz count; the exact total-cost curve over "top
     t tiles dense, rest spills" is minimized:
@@ -232,7 +235,7 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
     totals = (t_axis * pair_cost
               + spill_after * GATHER_S_PER_ROW
               + (spill_after > 0) * m * SPILL_RESTORE_S_PER_ROW)
-    best_t = int(np.argmin(totals))
+    best_t = int(np.argmin(totals)) if allow_spill else len(cs)
     est = float(totals[best_t]) + m * k_nominal * 4 / HBM_BW
     dense = np.zeros(len(counts), dtype=bool)
     dense[order[:best_t]] = True
@@ -283,7 +286,8 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                     max_inflation: float = 96.0,
                     beat_gather_margin: float = 0.8,
                     pairs_per_step: int = 2,
-                    gather_baseline_s: Optional[float] = None):
+                    gather_baseline_s: Optional[float] = None,
+                    allow_spill: bool = True):
     """Cost-model search over tile shapes x orderings (host-side numpy).
 
     Returns the winning ``(est, R, C, perm, i, j, dense, uniq, counts)``
@@ -348,7 +352,7 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
         for R, C_cand in tile_shapes:
             est, _, dense, uniq, counts = windowed_cost_estimate(
                 i, j, m, n, R, C_cand, itemsize, k_nominal,
-                pairs_per_step,
+                pairs_per_step, allow_spill=allow_spill,
             )
             tile_bytes = int(dense.sum()) * R * C_cand * itemsize
             if tile_bytes > DENSE_BYTES_HARD_CAP:
@@ -529,6 +533,7 @@ class WindowedPairs:
                  beat_gather_margin: float = 0.8,
                  pairs_per_step: Optional[int] = None,
                  gather_baseline_s: Optional[float] = None,
+                 allow_spill: bool = True,
                  ) -> Optional["WindowedPairs"]:
         """Build windowed storage; returns ``None`` when no tile
         configuration beats the pure gather path by ``beat_gather_margin``
@@ -572,6 +577,7 @@ class WindowedPairs:
             beat_gather_margin=beat_gather_margin,
             pairs_per_step=pairs_per_step,
             gather_baseline_s=gather_baseline_s,
+            allow_spill=allow_spill,
         )
         if best is None:
             return None

@@ -127,7 +127,10 @@ def test_windowed_empty_blocks_get_dummy_coverage():
     from sparsematrixmultiplicationmpi_tpu.formats.matrix import CSR
 
     csr = CSR.from_dense(dense)
-    wp = WindowedPairs.from_csr(csr, block_rows=8, reorder=None)
+    # margin disabled: this pins dummy-coverage/spill mechanics, not the
+    # windowed-vs-gather routing economics (auto owns that decision)
+    wp = WindowedPairs.from_csr(csr, block_rows=8, reorder=None,
+                                beat_gather_margin=1e9)
     assert wp is not None and wp.spill is not None
     counts = np.diff(np.asarray(wp.block_ptr))
     assert (counts >= 1).all()  # every block covered (dummies included)
@@ -232,7 +235,9 @@ def test_step_scalars_even_runs():
     csr = fem3d_csr(2000, 40000, seed=141)
     # Pin the kernel generation under test: this exercises the TWO-pair
     # scalars regardless of the production default.
-    wp = WindowedPairs.from_csr(csr, pairs_per_step=2, **SMALL)
+    wp = WindowedPairs.from_csr(csr, pairs_per_step=2,
+                                beat_gather_margin=1e9,
+                                allow_spill=False, **SMALL)
     pb = np.asarray(wp.pair_block)
     counts = np.bincount(pb, minlength=wp.n_blocks)
     assert (counts % 2 == 0).all() and (counts >= 2).all()
@@ -353,7 +358,8 @@ def test_windowed_multi_pair_many_flushes_per_step():
     # pairs_per_step=2 pinned: the raw short-run structure (before any
     # global tail pad) is what stresses the in-step flush sequencing.
     wp = WindowedPairs.from_csr(csr, block_rows=8, chunk_cols=128,
-                                beat_gather_margin=1e9, pairs_per_step=2)
+                                beat_gather_margin=1e9,
+                                allow_spill=False, pairs_per_step=2)
     assert wp is not None
     runs = np.diff(np.asarray(wp.block_ptr))
     assert runs.max() <= 4  # short runs: steps really do span blocks
@@ -379,7 +385,8 @@ def test_windowed_core_kpad_forced_pallas(pps, k):
 
     csr = fem3d_csr(2000, 40000, seed=91)
     wp = WindowedPairs.from_csr(
-        csr, pairs_per_step=pps, **SMALL).astype(np.float32)
+        csr, pairs_per_step=pps, beat_gather_margin=1e9,
+        allow_spill=False, **SMALL).astype(np.float32)
     v = jnp.asarray(generate_fat_vector(csr.shape[1], k, seed=92),
                     dtype=jnp.float32)
     vp = wp.encode(v)
