@@ -117,14 +117,16 @@ SPILL_RESTORE_S_PER_ROW = 3.5e-9
 #: the padded slab traffic accordingly. Re-tune against
 #: scripts/exp_kpad_windowed.py when hardware numbers land.
 KPAD_MIN_K = 12
-#: Densification memory guards (v5e HBM = 16 GB; tiles ship together
-#: with equal-size split/transposed planes, so the true footprint is
-#: ~2x the tile array). Below ``DENSE_BYTES_ALLOWANCE`` the
-#: ``max_inflation`` RATIO is not enforced — the cost model already
-#: prices the streamed bytes, and on tiny-nnz diffuse matrices
+#: Densification memory guards (v5e HBM = 16 GB; U>2 f32 builds hold
+#: tiles + tiles_split + tiles_t, so the true host footprint is ~3x
+#: the tile array — 2x for bf16/U<=2). Below ``DENSE_BYTES_ALLOWANCE``
+#: the DEFAULT ``max_inflation`` RATIO is not enforced — the cost model
+#: already prices the streamed bytes, and on tiny-nnz diffuse matrices
 #: (roadnet class: 6 MB of nnz) a 197x ratio is a harmless 1.2 GB that
-#: measured 8x faster than every gather path. ``DENSE_BYTES_HARD_CAP``
-#: always binds (a ratio-passing 100M-nnz build could otherwise OOM).
+#: measured 8x faster than every gather path. A caller-SUPPLIED
+#: ``max_inflation`` is strict (an explicit memory bound must bound
+#: memory — ADVICE r4 #3). ``DENSE_BYTES_HARD_CAP`` always binds (a
+#: ratio-passing 100M-nnz build could otherwise OOM).
 DENSE_BYTES_ALLOWANCE = 2_000_000_000
 DENSE_BYTES_HARD_CAP = 6_000_000_000
 
@@ -244,7 +246,8 @@ def windowed_cost_estimate(i, j, m: int, n: int, R: int, C: int,
 
 
 def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
-                      itemsize: int, k_nominal: int = 32):
+                      itemsize: int, k_nominal: int = 32,
+                      pairs_per_step: int = 2):
     """Identify above-threshold (row-block, column-chunk) tiles and
     materialize them, block-sorted.
 
@@ -261,7 +264,7 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
     """
     n_chunks = -(-n // C)
     _, _, dense, uniq, counts = windowed_cost_estimate(
-        i, j, m, n, R, C, itemsize, k_nominal)
+        i, j, m, n, R, C, itemsize, k_nominal, pairs_per_step)
 
     key = (i // R).astype(np.int64) * n_chunks + (j // C).astype(np.int64)
     pair_of_entry = np.searchsorted(uniq, key)
@@ -283,7 +286,7 @@ def build_dense_pairs(i, j, vals, m: int, n: int, R: int, C: int,
 def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                     chunk_cols=None, reorder="auto",
                     candidates=DEFAULT_CANDIDATES, k_nominal: int = 32,
-                    max_inflation: float = 96.0,
+                    max_inflation: Optional[float] = None,
                     beat_gather_margin: float = 0.8,
                     pairs_per_step: int = 2,
                     gather_baseline_s: Optional[float] = None,
@@ -306,6 +309,10 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
     """
     m, n = csr.shape
     itemsize = np.asarray(csr.values).dtype.itemsize
+    # None = default ratio with the small-matrix byte allowance; an
+    # explicit caller value is a strict memory bound (ADVICE r4 #3).
+    ratio_cap = 96.0 if max_inflation is None else float(max_inflation)
+    allowance = DENSE_BYTES_ALLOWANCE if max_inflation is None else 0
 
     tile_shapes = []
     for cand in candidates:
@@ -357,8 +364,8 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
             tile_bytes = int(dense.sum()) * R * C_cand * itemsize
             if tile_bytes > DENSE_BYTES_HARD_CAP:
                 continue
-            if (tile_bytes > max_inflation * csr.nnz * itemsize
-                    and tile_bytes > DENSE_BYTES_ALLOWANCE):
+            if (tile_bytes > ratio_cap * csr.nnz * itemsize
+                    and tile_bytes > allowance):
                 continue
             if best is None or est < best[0]:
                 best = (est, R, C_cand, perm, i, j, dense, uniq, counts)
@@ -529,7 +536,7 @@ class WindowedPairs:
                  reorder: str | None = "auto",
                  candidates=DEFAULT_CANDIDATES,
                  k_nominal: int = 32,
-                 max_inflation: float = 96.0,
+                 max_inflation: Optional[float] = None,
                  beat_gather_margin: float = 0.8,
                  pairs_per_step: Optional[int] = None,
                  gather_baseline_s: Optional[float] = None,
@@ -543,6 +550,9 @@ class WindowedPairs:
         ``block_rows``/``chunk_cols`` pin one or both dimensions.
         ``reorder="auto"`` applies RCM when the matrix is square and the
         reordered tiling estimates cheaper; ``None`` disables.
+        ``max_inflation`` (dense bytes / nnz bytes ratio): ``None`` =
+        default 96x with the small-matrix ``DENSE_BYTES_ALLOWANCE``; an
+        explicit value binds strictly.
         ``pairs_per_step`` (default ``PRODUCTION_PAIRS_PER_STEP``) selects
         the Pallas kernel generation the padding targets: 2 = even
         per-block runs (two-pair kernel), >2 = global tail pad only

@@ -289,7 +289,7 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
     step's ``slabs`` with one fused elementwise op when R == C).
 
     ``tiles_t``: with ``split``, (P, 2C, R) bf16 sublane-packed hi/lo
-    transposed tile planes (``formats/windowed.py::_split_planes_t``);
+    transposed tile planes (``formats/windowed.py::_tiles_t``);
     otherwise (P, C, R) single-plane transposed tiles. Block-ascending,
     every block in [0, nb) present, P % pairs_per_step == 0. ``slabs``:
     (n_chunks, k8, 2C) bf16 lane-packed hi|lo (``chunk_slabs(...,

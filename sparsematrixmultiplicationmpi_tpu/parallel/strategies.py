@@ -497,14 +497,30 @@ class Auto(Strategy):
                         return ch[0](v, op)
                 return op.encode(v)
 
+            def _chain_or_raise(op, k):
+                ch = windowed_t_chain(op, k)
+                if ch is None:
+                    # Unreachable today (enc only produces a 3-D state
+                    # when the chain applies), but gate drift between
+                    # enc and body/dec (backend change, format
+                    # mutation) must fail loudly, not as a TypeError on
+                    # None (ADVICE r4 #4).
+                    raise RuntimeError(
+                        "windowed_t_chain gate failed for a 3-D chain "
+                        "state: the operand no longer supports the "
+                        "transposed chain (check "
+                        "supports_transposed_chain / k alignment / "
+                        "block_rows % 128 on this backend)")
+                return ch
+
             def body(x, op):
                 if x.ndim == 3:
-                    return windowed_t_chain(op, x.shape[1])[1](x, op)
+                    return _chain_or_raise(op, x.shape[1])[1](x, op)
                 return op.iterate(x)
 
             def dec(x, op):
                 if x.ndim == 3:
-                    return windowed_t_chain(op, x.shape[1])[2](x, op)
+                    return _chain_or_raise(op, x.shape[1])[2](x, op)
                 return op.decode(x)
 
             return enc, body, dec

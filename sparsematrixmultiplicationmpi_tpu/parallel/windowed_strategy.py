@@ -258,8 +258,12 @@ class WindowedRowWise(Strategy):
                     best = (est, R_c, C_c)
             _, R, C = best
 
+        # Same economics as the shape search above: the dense/spill
+        # threshold must be priced at the generation the device kernels
+        # actually run (U=16's ~34 ns/pair, not the two-pair kernel's
+        # ~191 ns — ADVICE r4 #1, which over-spilled tiles ~6x).
         pb, pc, tiles_raw, spill_idx = build_dense_pairs(
-            i, j, vals, m, n, R, C, itemsize)
+            i, j, vals, m, n, R, C, itemsize, pairs_per_step=U)
 
         # Unified padded geometry: one per-device row extent s_loc that
         # is a multiple of BOTH R and C, so the block grid (outputs) and

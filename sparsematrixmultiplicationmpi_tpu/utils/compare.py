@@ -35,7 +35,8 @@ def default_tolerance(dtype) -> float:
 
 def are_matrices_equal(a, b, tolerance: float = DEFAULT_ABS_TOL,
                        relative: bool = False,
-                       condition_scale=None) -> bool:
+                       condition_scale=None,
+                       condition_tolerance: float | None = None) -> bool:
     """Reference-parity comparator (``utils.cpp:38-63``; the reference's
     absolute 1e-6 on f64 is the ``relative=False`` mode).
 
@@ -44,7 +45,7 @@ def are_matrices_equal(a, b, tolerance: float = DEFAULT_ABS_TOL,
 
     ``condition_scale`` (optional, elementwise, same shape) additionally
     admits the standard forward-error bound for reordered floating-point
-    accumulation: ``|sum a_i v_i - approx| <= tol * sum |a_i v_i|``. A
+    accumulation: ``|sum a_i v_i - approx| <= gamma * sum |a_i v_i|``. A
     catastrophically cancelling row (e.g. a 2386-nnz powerlaw hub row
     summing +-5e3-magnitude terms to -1.19) is REQUIRED to lose relative
     accuracy in any low-precision block-reordered sum; judging it against
@@ -52,6 +53,15 @@ def are_matrices_equal(a, b, tolerance: float = DEFAULT_ABS_TOL,
     (first hit: the round-4 TPU sweep, powerlaw_100k k=12). Rows without
     cancellation have ``sum|terms| ~ |result|``, so strictness there is
     unchanged. Pass ``spmm_host_f64(|A|, |v|)`` for SpMM checks.
+
+    ``condition_tolerance`` is the ``gamma`` applied to the condition
+    term — TIGHTER than the plain relative ``tolerance`` (default
+    ``tolerance / 10``), because the rigorous bound on the condition
+    scale is per-term rounding (~n_terms * eps of the compute dtype —
+    measured ~1.5e-4 worst-case for the split3 f32 path on 2.4k-term
+    hub rows), not the end-to-end dtype tier. Admitting the full 5e-3
+    f32 tier against ``sum|a_ij v_jk|`` could stamp correct=True on a
+    defect localized to high-cancellation rows (ADVICE r4 #2).
     """
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
@@ -60,12 +70,15 @@ def are_matrices_equal(a, b, tolerance: float = DEFAULT_ABS_TOL,
     diff = np.abs(a - b)
     if relative:
         scale = np.maximum(np.maximum(np.abs(a), np.abs(b)), 1.0)
+        ok = diff <= tolerance * scale
         if condition_scale is not None:
             cs = np.asarray(condition_scale, dtype=np.float64)
             if cs.shape != a.shape:
                 return False
-            scale = np.maximum(scale, cs)
-        return bool(np.all(diff <= tolerance * scale))
+            if condition_tolerance is None:
+                condition_tolerance = tolerance / 10.0
+            ok |= diff <= condition_tolerance * cs
+        return bool(np.all(ok))
     return bool(np.all(diff <= tolerance))
 
 
