@@ -103,10 +103,14 @@ def main() -> int:
     # inside one compiled program — the per-iteration cost a solver/GNN
     # pipeline sees, with per-dispatch runtime latency (~25 ms through the
     # development tunnel) canceled by two-point calibration.
+    # inner=20/iters=5: the two-point slope at inner=10/iters=3 once
+    # returned a 2x-fast fluke (0.78 ms vs the stable ~1.45 ms kernel
+    # plateau, round-5 session log) — longer chains and more endpoint
+    # samples keep tunnel dispatch noise out of the slope.
     rec = run_benchmark(
         csr, k, Auto(), mesh, matrix_name="cop20k_like",
-        warmup=2, iters=3, check=True, dtype=jnp.float32,
-        amortized=True, inner=10,
+        warmup=2, iters=5, check=True, dtype=jnp.float32,
+        amortized=True, inner=20,
     )
     result = {
         "metric": "spmm_gnnz_per_s_cop20k_k32",

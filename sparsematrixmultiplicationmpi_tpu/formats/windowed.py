@@ -129,6 +129,12 @@ KPAD_MIN_K = 12
 #: ratio-passing 100M-nnz build could otherwise OOM).
 DENSE_BYTES_ALLOWANCE = 2_000_000_000
 DENSE_BYTES_HARD_CAP = 6_000_000_000
+#: VMEM budget for one phase's resident fat-vector slab window
+#: (``ops/pallas_windowed.py::_kernel_tmulti_resident``). probe18's
+#: envelope: a 7 MB window + the double-buffered U=16 tile stream
+#: compiled and ran under a 14 MB limit on v5e — the constant-index
+#: window block is single-buffered.
+RESIDENT_SLAB_VMEM_BYTES = 7 * 1024 * 1024
 
 
 def _split_planes(tiles):
@@ -169,6 +175,94 @@ def _tiles_t(tiles, tiles_split):
     if isinstance(src, np.ndarray):
         return np.ascontiguousarray(src.swapaxes(1, 2))
     return jnp.swapaxes(src, 1, 2)
+
+
+def build_phase_layout(pb, pc, nb: int, n_chunks: int, cpp: int, U: int):
+    """Phase-major reordering of a (padded, block-major) pair list for
+    the VMEM-resident kernel (``ops/pallas_windowed.py::
+    windowed_matmul_tmulti_phased``).
+
+    Pairs are grouped by fat-vector chunk window ("phase" ``pc // cpp``
+    — ``cpp`` chunks per phase sized so one phase's slabs fit the VMEM
+    budget), block-ascending within each phase. Per phase, row blocks
+    inside its touched block range with no pair get a dummy zero pair
+    (the kernel only flushes blocks it visits, and the phase's partial
+    output buffer covers the whole range), and the phase's pair count
+    is padded to a ``U`` multiple. Deterministic pure function of
+    ``(pb, pc)`` — ``astype`` re-derives the same layout to re-gather
+    the transposed planes.
+
+    Returns ``(pb_ph, pc_ph, src, phases)``: phase-LOCAL block and
+    chunk ids (int32), ``src`` mapping each phase-major slot to its
+    input pair index (-1 for dummies, int64), and a static tuple of
+    per-phase ``(pair_offset, n_pairs, chunk_lo, block_lo, nb_ph)``
+    records. Empty phases (chunk windows no pair touches) are skipped —
+    the combine leaves their blocks' contribution zero.
+    """
+    pb = np.asarray(pb, dtype=np.int64)
+    pc = np.asarray(pc, dtype=np.int64)
+    ph = pc // cpp
+    order = np.lexsort((pc, pb, ph))
+    ph_sorted = ph[order]
+    nph_max = int(ph_sorted[-1]) + 1
+    bounds = np.searchsorted(ph_sorted, np.arange(nph_max + 1))
+    pb_out, pc_out, src_out, phases = [], [], [], []
+    offset = 0
+    for p in range(nph_max):
+        s, e = bounds[p], bounds[p + 1]
+        if s == e:
+            continue
+        sel = order[s:e]
+        lpb = pb[sel]
+        lpc = pc[sel] - p * cpp
+        blo, bhi = int(lpb.min()), int(lpb.max())
+        present = np.zeros(bhi - blo + 1, dtype=bool)
+        present[lpb - blo] = True
+        holes = np.nonzero(~present)[0] + blo
+        gb = np.concatenate([lpb, holes])
+        gc = np.concatenate([lpc, np.zeros(len(holes), np.int64)])
+        gs = np.concatenate([sel, np.full(len(holes), -1, np.int64)])
+        o2 = np.argsort(gb, kind="stable")
+        gb, gc, gs = gb[o2], gc[o2], gs[o2]
+        pad = (-len(gb)) % U
+        if pad:
+            gb = np.concatenate([gb, np.full(pad, bhi, np.int64)])
+            gc = np.concatenate([gc, np.zeros(pad, np.int64)])
+            gs = np.concatenate([gs, np.full(pad, -1, np.int64)])
+        phases.append((offset, len(gb), p * cpp, blo, bhi - blo + 1))
+        offset += len(gb)
+        pb_out.append(gb - blo)
+        pc_out.append(gc)
+        src_out.append(gs)
+    return (np.concatenate(pb_out).astype(np.int32),
+            np.concatenate(pc_out).astype(np.int32),
+            np.concatenate(src_out),
+            tuple(phases))
+
+
+def _chunks_per_phase(C: int, itemsize: int, k_nominal: int) -> int:
+    """Chunks per resident phase for the VMEM budget: one chunk's slab
+    is ``k8 x slab_w`` bf16 (lane-packed hi|lo for f32 data, single
+    plane for bf16)."""
+    k8 = -(-max(k_nominal, 8) // 8) * 8
+    slab_w = 2 * C if itemsize == 4 else C
+    return max(int(RESIDENT_SLAB_VMEM_BYTES // (k8 * slab_w * 2)), 1)
+
+
+def _phase_fields(tiles, tiles_split, pair_block, pair_chunk, nb: int,
+                  n_chunks: int, cpp: int, U: int):
+    """(tiles_t phase-major, pb_ph, pc_ph, phases) for a U>2 format:
+    the transposed bf16 planes gathered into the phase-major order
+    (dummies zero). Host-side numpy."""
+    pb_ph, pc_ph, src, phases = build_phase_layout(
+        np.asarray(pair_block), np.asarray(pair_chunk), nb, n_chunks,
+        cpp, U)
+    base = tiles_split if tiles_split is not None else tiles
+    base = np.asarray(base)
+    g = base[np.where(src >= 0, src, 0)]
+    g[src < 0] = 0
+    tiles_t = np.ascontiguousarray(g.swapaxes(1, 2))
+    return tiles_t, pb_ph, pc_ph, phases
 
 
 def _pair_cost_s(R: int, C: int, itemsize: int, k_nominal: int,
@@ -437,7 +531,22 @@ class WindowedPairs:
     #: (``windowed_matmul_tmulti``): (P, 2C, R) bf16 sublane-packed
     #: hi/lo split for f32 data, (P, C, R) for bf16. Built only for
     #: ``pairs_per_step > 2`` formats (``_tiles_t``); None otherwise.
+    #: PHASE-major order when ``phases`` is set (``build_phase_layout``)
+    #: — consume via ``windowed_matmul_tmulti_phased`` with the ``_ph``
+    #: id arrays, never with ``pair_block``/``pair_chunk``.
     tiles_t: Optional[jax.Array] = None
+    #: Phase-major layout for the VMEM-resident kernel
+    #: (``ops/pallas_windowed.py::windowed_matmul_tmulti_phased``),
+    #: built for kernel-eligible U>2 formats (R % 128 == 0): phase-LOCAL
+    #: block/chunk ids matching ``tiles_t``'s order, the static
+    #: per-phase ``(pair_offset, n_pairs, chunk_lo, block_lo, nb_ph)``
+    #: records, and the chunk window width one resident phase covers
+    #: (sized for ``k_nominal`` at build; a wider runtime k falls back
+    #: to the per-phase streamed kernel inside the phased wrapper).
+    pair_block_ph: Optional[jax.Array] = None
+    pair_chunk_ph: Optional[jax.Array] = None
+    phases: Optional[tuple] = _static_field(default=None)
+    chunks_per_phase: int = _static_field(default=0)
 
     @property
     def dtype(self):
@@ -475,11 +584,29 @@ class WindowedPairs:
     def astype(self, dtype) -> "WindowedPairs":
         tiles = self.tiles.astype(dtype)
         split = _split_planes(tiles)
+        tiles_t = pb_ph = pc_ph = None
+        phases = None
+        if self.pairs_per_step > 2:
+            if self.phases is not None:
+                # Re-derive the same phase layout (pure function of the
+                # block-major ids) and re-gather the new dtype's planes.
+                # ``chunks_per_phase`` is kept from the build: for
+                # bf16 -> f32 the doubled slab width can exceed the VMEM
+                # budget, which the phased wrapper detects and serves
+                # with the streamed per-phase kernel.
+                tiles_t, pb_ph, pc_ph, phases = _phase_fields(
+                    np.asarray(tiles), None if split is None
+                    else np.asarray(split),
+                    self.pair_block, self.pair_chunk,
+                    self.n_blocks, self.n_chunks,
+                    self.chunks_per_phase, self.pairs_per_step)
+            else:
+                tiles_t = _tiles_t(tiles, split)
         return dataclasses.replace(
             self,
             tiles=tiles, tiles_split=split,
-            tiles_t=(_tiles_t(tiles, split)
-                     if self.pairs_per_step > 2 else None),
+            tiles_t=tiles_t, pair_block_ph=pb_ph, pair_chunk_ph=pc_ph,
+            phases=phases,
             spill=None if self.spill is None else self.spill.astype(dtype),
         )
 
@@ -541,6 +668,7 @@ class WindowedPairs:
                  pairs_per_step: Optional[int] = None,
                  gather_baseline_s: Optional[float] = None,
                  allow_spill: bool = True,
+                 phase_layout: bool = False,
                  ) -> Optional["WindowedPairs"]:
         """Build windowed storage; returns ``None`` when no tile
         configuration beats the pure gather path by ``beat_gather_margin``
@@ -557,6 +685,15 @@ class WindowedPairs:
         the Pallas kernel generation the padding targets: 2 = even
         per-block runs (two-pair kernel), >2 = global tail pad only
         (U-pair scratch-accumulator kernel).
+        ``phase_layout`` opts a kernel-eligible U>2 build into the
+        phase-major VMEM-resident layout. Default OFF: measured on the
+        full cop20k stand-in, the resident kernel is NOT faster — the
+        per-pair dynamic-index cost exceeds the slab bytes it saves
+        (slab streams are ~free: 0.10 ms for all 16 streams,
+        results/probe22_streams.json), and the phase combine/dummies
+        add ~2.5 % (probe19). probe18's -27 % slice result was an
+        anomalous baseline, falsified at production scale
+        (results/probe19_phased.json, probe20, probe21, probe22).
         """
         if pairs_per_step is None:
             pairs_per_step = PRODUCTION_PAIRS_PER_STEP
@@ -669,11 +806,27 @@ class WindowedPairs:
             inv_perm[perm] = np.arange(m, dtype=np.int32)
             perm = perm.astype(np.int32)
         split = _split_planes(tiles)
+        tiles_t = pb_ph = pc_ph = None
+        phases = None
+        cpp = 0
+        if pairs_per_step > 2:
+            if phase_layout and R % 128 == 0:
+                # Opt-in phase-major transposed planes for the
+                # VMEM-resident kernel (single phase when the whole
+                # slab array fits the budget). See the docstring note:
+                # measured slower than the block-major streamed kernel
+                # at production scale, so never the default.
+                cpp = _chunks_per_phase(C, itemsize, k_nominal)
+                tiles_t, pb_ph, pc_ph, phases = _phase_fields(
+                    tiles, split, pair_block, pair_chunk, nb, n_chunks,
+                    cpp, pairs_per_step)
+            else:
+                tiles_t = _tiles_t(tiles, split)
         return cls(
             tiles=tiles, pair_chunk=pair_chunk, pair_block=pair_block,
             block_ptr=block_ptr, tiles_split=split,
-            tiles_t=(_tiles_t(tiles, split) if pairs_per_step > 2
-                     else None),
+            tiles_t=tiles_t, pair_block_ph=pb_ph, pair_chunk_ph=pc_ph,
+            phases=phases, chunks_per_phase=cpp,
             spill=spill, perm=perm, inv_perm=inv_perm,
             shape=(m, n), block_rows=R, chunk_cols=C,
             est_seconds=float(est), pairs_per_step=pairs_per_step,

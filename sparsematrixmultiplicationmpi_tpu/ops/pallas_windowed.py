@@ -61,10 +61,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.windowed import WindowedPairs
+from ..formats.windowed import RESIDENT_SLAB_VMEM_BYTES, WindowedPairs
 
 __all__ = ["spmm_windowed_pallas", "windowed_matmul_pallas",
-           "windowed_matmul_split3", "windowed_matmul_tmulti", "resplit_slabs", "chunk_slabs"]
+           "windowed_matmul_split3", "windowed_matmul_tmulti",
+           "windowed_matmul_tmulti_phased", "resplit_slabs", "chunk_slabs"]
 
 
 def _dot_cc(a, b, precision):
@@ -203,7 +204,8 @@ def _dot_kc_cr(a, b):
 
 
 def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
-                   split: bool):
+                   split: bool, pair_off: int = 0,
+                   fuse_resplit: bool = False):
     """Transposed-state U-pairs-per-step kernel.
 
     Control structure: SMEM current-block tracking with a staged async
@@ -236,7 +238,7 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
 
     @pl.when(s == 0)
     def _():
-        cur[0] = pb_ref[0]
+        cur[0] = pb_ref[pair_off]
         cnt[0] = 0
         acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
@@ -247,14 +249,28 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
 
     def flush():
         wait_prev()
-        stage[...] = acc[...]
+        if fuse_resplit:
+            # The next iterate's state layout, emitted directly from
+            # the accumulator (VERDICT r4 #6): the chained consumer's
+            # whole resplit pass (read + write of the full output at
+            # HBM rate) disappears. split mode: lane-packed bf16
+            # [hi | lo]; bf16 mode: one bf16 cast.
+            a = acc[...]
+            if split:
+                hi = a.astype(jnp.bfloat16)
+                lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                stage[...] = jnp.concatenate([hi, lo], axis=1)
+            else:
+                stage[...] = a.astype(jnp.bfloat16)
+        else:
+            stage[...] = acc[...]
         pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
         prev[0] = cur[0]
         cnt[0] = 1
         acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     for u in range(U):
-        b = pb_ref[s * U + u]
+        b = pb_ref[pair_off + s * U + u]
 
         @pl.when(b != cur[0])
         def _(b=b):
@@ -277,12 +293,14 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "pairs_per_step", "split", "interpret"))
+    jax.jit, static_argnames=("nb", "pairs_per_step", "split", "interpret",
+                              "fuse_resplit"))
 def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
                            tiles_t: jax.Array, slabs: jax.Array, *,
                            nb: int, pairs_per_step: int = 8,
                            split: bool = True,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           fuse_resplit: bool = False) -> jax.Array:
     """Raw fused contraction in TRANSPOSED state: slabs in, (nb, k8, R)
     f32 out — the chained-iterate hot body with zero per-step layout
     transforms (``resplit_slabs`` turns the output back into the next
@@ -296,6 +314,12 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
     split=True)``) or (n_chunks, k8, C) single-plane, k8 % 8 == 0.
     Compiled mode requires R % 128 == 0 (manual-flush DMA tiling rule —
     see ``_kernel_tmulti``); the wrapper raises otherwise.
+
+    ``fuse_resplit`` (requires k8 % 16 == 0 — bf16 memref tiling of the
+    staged flush) makes the kernel emit the CHAINED-ITERATE state
+    directly: ``(nb, k8, 2R)`` bf16 lane-packed hi|lo in split mode (the
+    ``resplit_slabs`` layout), ``(nb, k8, R)`` bf16 in bf16 mode —
+    eliminating the chain's whole-output re-split pass (VERDICT r4 #6).
     """
     U = pairs_per_step
     P, C2, R = tiles_t.shape
@@ -322,6 +346,10 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
         raise ValueError(
             f"slab width {slabs.shape[2]} != expected {slab_w} "
             f"(split={split})")
+    if fuse_resplit and k8 % 16:
+        raise ValueError(
+            f"fuse_resplit requires k8 % 16 == 0 (bf16 staged-flush "
+            f"memref tiling), got k8={k8}")
     S = P // U
 
     def slab_spec(u):
@@ -329,6 +357,13 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
             (1, k8, slab_w),
             lambda s, pb, pc, u=u: (pc[s * U + u], 0, 0))
 
+    if fuse_resplit:
+        out_w = 2 * R if split else R
+        stage = pltpu.VMEM((k8, out_w), jnp.bfloat16)
+        out_shape = jax.ShapeDtypeStruct((nb, k8, out_w), jnp.bfloat16)
+    else:
+        stage = pltpu.VMEM((k8, R), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((nb, k8, R), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # pb, pc
         grid=(S,),
@@ -342,20 +377,228 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((k8, R), jnp.float32),  # accumulator
-            pltpu.VMEM((k8, R), jnp.float32),  # DMA staging
+            stage,                             # DMA staging
             pltpu.SMEM((1,), jnp.int32),       # current block
             pltpu.SMEM((1,), jnp.int32),       # outstanding-copy block
             pltpu.SMEM((1,), jnp.int32),       # outstanding-copy flag
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_kernel_tmulti, U=U, C=C, split=split)
+    kernel = functools.partial(_kernel_tmulti, U=U, C=C, split=split,
+                               fuse_resplit=fuse_resplit)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, k8, R), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(pair_block, pair_chunk, tiles_t, *([slabs] * U))
+
+
+def _kernel_tmulti_resident(pb_ref, pc_ref, tiles_ref, slabs_ref, *rest,
+                            U: int, C: int, split: bool, pair_off: int):
+    """Transposed U-pair kernel with the phase's ENTIRE slab window
+    resident in VMEM.
+
+    Identical control structure to ``_kernel_tmulti`` (SMEM block
+    tracking, staged async flush), but the fat-vector slabs arrive as
+    ONE constant-index BlockSpec block ``(cpp, k8, slab_w)`` that Mosaic
+    loads exactly once per call, and each pair dynamic-indexes its slab
+    on the leading (VMEM-legal) dimension. Removes the per-pair slab
+    stream entirely: measured 135 vs 184 ns/pair at the production
+    (128, 128) U=16 shape on v5e (results/probe18_resident.json,
+    scripts/exp_kernel_probe18.py) — the top round-4 finding, here
+    productionized. ``pb_ref``/``pc_ref`` are the FULL phase-major
+    scalar arrays; ``pair_off`` (static) is this phase's first pair.
+    Block ids and chunk ids are phase-LOCAL (the output is the phase's
+    block-range partial; the slab block is the phase's chunk window).
+    """
+    out_ref, acc, stage, cur, prev, cnt, sem = rest
+    s = pl.program_id(0)
+    S = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        cur[0] = pb_ref[pair_off]
+        cnt[0] = 0
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+    def flush():
+        @pl.when(cnt[0] == 1)
+        def _():
+            pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
+        stage[...] = acc[...]
+        pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
+        prev[0] = cur[0]
+        cnt[0] = 1
+        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+    for u in range(U):
+        b = pb_ref[pair_off + s * U + u]
+
+        @pl.when(b != cur[0])
+        def _(b=b):
+            flush()
+            cur[0] = b
+
+        t = tiles_ref[u]
+        sl = slabs_ref[pc_ref[pair_off + s * U + u]]
+        if split:
+            acc[...] += (_dot_kc_cr(sl[:, :C], t[:C])
+                         + _dot_kc_cr(sl[:, :C], t[C:])
+                         + _dot_kc_cr(sl[:, C:], t[:C]))
+        else:
+            acc[...] += _dot_kc_cr(sl, t)
+
+    @pl.when(s == S - 1)
+    def _():
+        flush()
+        pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
+
+
+#: probe18's compile envelope: a RESIDENT_SLAB_VMEM_BYTES window +
+#: double-buffered U=16 tile stream (2 MB) + scratch compiled and ran
+#: under this limit on v5e (the constant-index slab block is
+#: single-buffered — Mosaic re-fetches only on index change, and U=32
+#: at the same slab size also compiled).
+_RESIDENT_VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def _phase_call(pb, pc, tiles_t, slabs, *, phase, cpp, U, C2, C, k8,
+                split, resident, interpret):
+    """One phase's pallas_call: (nb_ph, k8, R) f32 block-range partial.
+
+    ``phase`` = (pair_off, n_pairs, chunk_lo, block_lo, nb_ph) — all
+    static. ``resident`` selects the constant-index whole-window slab
+    block (``_kernel_tmulti_resident``); otherwise the per-pair slab
+    streams of ``_kernel_tmulti`` run on the phase's pair range (the
+    any-k fallback when the window exceeds the VMEM budget).
+    """
+    pair_off, n_pairs, chunk_lo, block_lo, nb_ph = phase
+    R = tiles_t.shape[2]
+    S = n_pairs // U
+    base = pair_off // U  # pair_off is a U-multiple by construction
+    slab_w = 2 * C if split else C
+    tile_spec = pl.BlockSpec(
+        (U, C2, R), lambda s, pb_, pc_: (base + s, 0, 0))
+    scratch = [
+        pltpu.VMEM((k8, R), jnp.float32),
+        pltpu.VMEM((k8, R), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if resident:
+        # Clamp the window block to the actual chunk count (a single
+        # small phase must not allocate the full budget block in VMEM);
+        # with more than one phase blk_c == cpp, so chunk_lo divides.
+        blk_c = min(cpp, slabs.shape[0])
+        ph_idx = chunk_lo // blk_c
+        in_specs = [
+            tile_spec,
+            pl.BlockSpec((blk_c, k8, slab_w),
+                         lambda s, pb_, pc_: (ph_idx, 0, 0)),
+        ]
+        kernel = functools.partial(
+            _kernel_tmulti_resident, U=U, C=C, split=split,
+            pair_off=pair_off)
+        operands = (pb, pc, tiles_t, slabs)
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=_RESIDENT_VMEM_LIMIT)
+    else:
+        def slab_spec(u):
+            return pl.BlockSpec(
+                (1, k8, slab_w),
+                lambda s, pb_, pc_, u=u: (
+                    pc_[pair_off + s * U + u] + chunk_lo, 0, 0))
+
+        in_specs = [tile_spec, *[slab_spec(u) for u in range(U)]]
+        kernel = functools.partial(
+            _kernel_tmulti, U=U, C=C, split=split, pair_off=pair_off)
+        operands = (pb, pc, tiles_t, *([slabs] * U))
+        params = None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=scratch,
+    )
+    kwargs = {} if params is None else {"compiler_params": params}
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_ph, k8, R), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "phases", "chunks_per_phase",
+                              "pairs_per_step", "split", "interpret",
+                              "force_streamed"))
+def windowed_matmul_tmulti_phased(
+        pair_block_ph: jax.Array, pair_chunk_ph: jax.Array,
+        tiles_t: jax.Array, slabs: jax.Array, *, nb: int,
+        phases: tuple, chunks_per_phase: int, pairs_per_step: int = 16,
+        split: bool = True, interpret: bool = False,
+        force_streamed: bool = False) -> jax.Array:
+    """Phased VMEM-resident transposed contraction: slabs in,
+    ``(nb, k8, R)`` f32 out.
+
+    The pair list is PHASE-major (``formats/windowed.py::
+    build_phase_layout``): pairs grouped by fat-vector chunk window
+    ("phase"), block-ascending within a phase, per-phase counts padded
+    to a ``pairs_per_step`` multiple, block ids and chunk ids phase-
+    LOCAL. Each phase runs one pallas_call whose slab window stays
+    resident in VMEM (``_kernel_tmulti_resident``), writing a block-
+    range partial ``(nb_ph, k8, R)``; partials are summed by one fused
+    pad+add (phases overlap only on boundary-spanning blocks, so the
+    extra HBM traffic is ~(1 + overlap) output writes + one read).
+    Blocks no phase touches stay zero — empty row blocks need no
+    coverage dummies here, unlike the single-list kernels.
+
+    When the actual ``k8`` makes a phase's slab window exceed the VMEM
+    budget (the layout was sized for the format's ``k_nominal``), every
+    phase falls back to the per-pair streamed kernel — same math, same
+    layout, no resident window.
+    """
+    U = pairs_per_step
+    P, C2, R = tiles_t.shape
+    C = C2 // 2 if split else C2
+    k8 = slabs.shape[1]
+    if k8 % 8:
+        raise ValueError(f"slab row dim {k8} must be a sublane multiple")
+    if not split and tiles_t.dtype == jnp.float32:
+        raise ValueError(
+            "phased tmulti split=False requires bf16 operands")
+    if not interpret and R % 128:
+        raise ValueError(
+            f"compiled phased tmulti requires R % 128 == 0, got R={R}")
+    slab_w = 2 * C if split else C
+    if slabs.shape[2] != slab_w:
+        raise ValueError(
+            f"slab width {slabs.shape[2]} != expected {slab_w} "
+            f"(split={split})")
+    cpp = chunks_per_phase
+    window_bytes = (min(cpp, slabs.shape[0]) * k8 * slab_w
+                    * slabs.dtype.itemsize)
+    resident = (not force_streamed
+                and window_bytes <= RESIDENT_SLAB_VMEM_BYTES)
+    parts = []
+    for phase in phases:
+        buf = _phase_call(
+            pair_block_ph, pair_chunk_ph, tiles_t, slabs, phase=phase,
+            cpp=cpp, U=U, C2=C2, C=C, k8=k8, split=split,
+            resident=resident, interpret=interpret)
+        _, _, _, block_lo, nb_ph = phase
+        parts.append(jnp.pad(
+            buf, ((block_lo, nb - block_lo - nb_ph), (0, 0), (0, 0))))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out + p_
+    return out
 
 
 @jax.jit
@@ -538,11 +781,23 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
         slab_dtype = jnp.float32 if split else wp.tiles.dtype
         (slabs,) = chunk_slabs(v_p.astype(slab_dtype), C=wp.chunk_cols,
                                split=split, interpret=interpret)
-        out_t = windowed_matmul_tmulti(
-            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t), slabs,
-            nb=nb, pairs_per_step=wp.pairs_per_step, split=split,
-            interpret=interpret,
-        )  # (nb, k, R)
+        if wp.phases is not None:
+            # tiles_t is phase-major: the VMEM-resident phased kernel
+            # is the only correct consumer (and the fast one — 135 vs
+            # 184 ns/pair, probe18).
+            out_t = windowed_matmul_tmulti_phased(
+                wp.pair_block_ph, wp.pair_chunk_ph,
+                jnp.asarray(wp.tiles_t), slabs, nb=nb,
+                phases=wp.phases, chunks_per_phase=wp.chunks_per_phase,
+                pairs_per_step=wp.pairs_per_step, split=split,
+                interpret=interpret,
+            )  # (nb, k, R)
+        else:
+            out_t = windowed_matmul_tmulti(
+                wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t),
+                slabs, nb=nb, pairs_per_step=wp.pairs_per_step,
+                split=split, interpret=interpret,
+            )  # (nb, k, R)
         computed = jnp.swapaxes(out_t, 1, 2).reshape(nb * R, k)
         return _finish(wp, computed, v_p)
     if wp.tiles.dtype == jnp.float32 and wp.tiles_split is not None:

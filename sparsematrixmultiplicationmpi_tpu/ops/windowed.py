@@ -185,6 +185,7 @@ def windowed_t_chain(wp: WindowedPairs, k: int, *,
         return None  # compiled flush DMA needs a 128-multiple minor dim
     from .pallas_windowed import (
         chunk_slabs, resplit_slabs, windowed_matmul_tmulti,
+        windowed_matmul_tmulti_phased,
     )
 
     split = wp.tiles.dtype == jnp.float32
@@ -201,9 +202,33 @@ def windowed_t_chain(wp: WindowedPairs, k: int, *,
         return slabs
 
     def body(state, op):
+        if op.phases is not None:
+            # Phase-major planes -> the VMEM-resident phased kernel;
+            # the per-phase partial pad+add fuses into the re-split
+            # below (one elementwise pass over the output).
+            out_t = windowed_matmul_tmulti_phased(
+                op.pair_block_ph, op.pair_chunk_ph,
+                jnp.asarray(op.tiles_t), state, nb=op.n_blocks,
+                phases=op.phases, chunks_per_phase=op.chunks_per_phase,
+                pairs_per_step=op.pairs_per_step, split=split,
+                interpret=interpret,
+            )
+            if split:
+                return resplit_slabs(out_t)
+            return out_t.astype(slab_dtype)
+        if k8 % 16 == 0:
+            # The kernel's staged flush emits the next state directly
+            # (fuse_resplit): the whole-output re-split/cast pass —
+            # a full read + write at HBM rate, ~10 % of the chained
+            # iterate — disappears (VERDICT r4 #6).
+            return windowed_matmul_tmulti(
+                op.pair_block, op.pair_chunk, jnp.asarray(op.tiles_t),
+                state, nb=op.n_blocks, pairs_per_step=op.pairs_per_step,
+                split=split, interpret=interpret, fuse_resplit=True,
+            )
         out_t = windowed_matmul_tmulti(
-            op.pair_block, op.pair_chunk, jnp.asarray(op.tiles_t), state,
-            nb=op.n_blocks, pairs_per_step=op.pairs_per_step,
+            op.pair_block, op.pair_chunk, jnp.asarray(op.tiles_t),
+            state, nb=op.n_blocks, pairs_per_step=op.pairs_per_step,
             split=split, interpret=interpret,
         )
         if split:

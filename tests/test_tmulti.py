@@ -166,3 +166,52 @@ def test_auto_chain_parts_uses_transposed_state():
     ref5 = spmm_host_f64(csr, v5)
     scale5 = float(np.abs(ref5).max()) or 1.0
     assert float(np.abs(out5 - ref5).max()) / scale5 < 5e-3
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_fuse_resplit_matches_unfused(dtype):
+    """fuse_resplit emits the next chain state straight from the flush
+    (VERDICT r4 #6): bitwise-identical to kernel + resplit_slabs/cast
+    (same acc, same rounding, different plumbing)."""
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        chunk_slabs, resplit_slabs, windowed_matmul_tmulti,
+    )
+
+    dt = jnp.bfloat16 if dtype == "bfloat16" else dtype
+    csr, wp = _square_chain_format(U=8, dtype=dt)
+    split = dtype == np.float32
+    k = 16
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], k, seed=31),
+                    dtype=csr.values.dtype)
+    slab_dtype = jnp.float32 if split else jnp.bfloat16
+    (state,) = chunk_slabs(wp.encode(v).astype(slab_dtype),
+                           C=wp.chunk_cols, split=split, interpret=True)
+    kwargs = dict(nb=wp.n_blocks, pairs_per_step=wp.pairs_per_step,
+                  split=split, interpret=True)
+    out_t = windowed_matmul_tmulti(
+        wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t), state,
+        **kwargs)
+    want = (resplit_slabs(out_t) if split
+            else out_t.astype(jnp.bfloat16))
+    got = windowed_matmul_tmulti(
+        wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t), state,
+        fuse_resplit=True, **kwargs)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fuse_resplit_rejects_unaligned_k():
+    from sparsematrixmultiplicationmpi_tpu.ops.pallas_windowed import (
+        chunk_slabs, windowed_matmul_tmulti,
+    )
+
+    csr, wp = _square_chain_format(U=8)
+    v = jnp.asarray(generate_fat_vector(csr.shape[1], 8, seed=32),
+                    dtype=np.float32)
+    (state,) = chunk_slabs(wp.encode(v), C=wp.chunk_cols, split=True,
+                           interpret=True)
+    with pytest.raises(ValueError, match="fuse_resplit"):
+        windowed_matmul_tmulti(
+            wp.pair_block, wp.pair_chunk, jnp.asarray(wp.tiles_t), state,
+            nb=wp.n_blocks, pairs_per_step=wp.pairs_per_step, split=True,
+            interpret=True, fuse_resplit=True)
