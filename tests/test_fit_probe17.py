@@ -37,7 +37,17 @@ def test_fit_recovers_constants():
     F, bw, resid, rows = fp17.fit(_records())
     assert abs(F - 250e-9) / 250e-9 < 1e-6
     assert abs(bw - 700e9) / 700e9 < 1e-6
-    assert resid < 1e-9
+    # per-record residuals (ADVICE/VERDICT r4: the artifact must show
+    # WHERE the model holds, not just a max over mixed records)
+    assert len(resid) == len(rows)
+    assert float(np.max(resid)) < 1e-9
+
+
+def test_exclusions_annotated():
+    _, _, resid, rows = fp17.fit(_records())
+    ann = {r["U"]: fp17.EXCLUSIONS.get(r["U"]) for r in rows}
+    assert ann[32] and "VMEM" in ann[32]
+    assert ann[8] is None and ann[16] is None
 
 
 def test_fit_tolerates_noise():
