@@ -106,6 +106,11 @@ class BenchRecord:
                                    # reference left failures greppable in
                                    # PBS stdout; here they are first-class
                                    # (VERDICT r2 Missing #3)
+    remeasured: int = 0            # >0: this row was flagged suspicious
+                                   # (roofline >95 % / k-non-monotonic)
+                                   # and replaced by the median of this
+                                   # many amortized runs (VERDICT r4 #2)
+    spread_rel: Optional[float] = None  # (max-min)/median of those runs
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -151,9 +156,19 @@ def run_benchmark(csr: CSR, k: int, strategy: Strategy, mesh=None, *,
             operand, mesh, gather_result=gather_result
         )
         v_enc = jax.jit(enc)(v, operand)
-        timing, out_enc = measure_amortized(
-            body, v_enc, operand, inner=inner, warmup=warmup, iters=iters,
-        )
+        # Escalate the chain length until the two-point slope resolves
+        # (VERDICT r4 missing #3: the bf16 sweep shipped NaN rows for
+        # sub-ms kernels that longer chains resolve trivially). Cap at
+        # 16x: a job still unresolved at inner*16 is genuinely below
+        # the timer's floor and must surface as "< upper_bound".
+        timing = out_enc = None
+        for inner_try in (inner, inner * 4, inner * 16):
+            timing, out_enc = measure_amortized(
+                body, v_enc, operand, inner=inner_try, warmup=warmup,
+                iters=iters,
+            )
+            if timing.resolved:
+                break
         best = timing.seconds_per_iter  # NaN when below resolution
         upper_bound = timing.upper_bound
         out = jax.block_until_ready(jax.jit(dec)(out_enc, operand))
@@ -449,7 +464,88 @@ CSV_COLUMNS = [
     "execution_time", "prepare_time", "correct", "max_error",
     "gflops", "gnnz_per_s", "roofline_fraction", "dtype", "device_kind",
     "gathered", "comp_time", "comm_time", "time_upper_bound", "error",
+    "remeasured", "spread_rel",
 ]
+
+
+def suspicious_records(records: Sequence[BenchRecord]):
+    """Rows whose timing is physically implausible and must be
+    re-measured before publication (VERDICT r4 weak #2: REPORT.md once
+    printed 115.8 % of the per-chip roofline as a "Best" headline; this
+    chip's sub-ms XLA numbers carry up to ~2x run-to-run variance).
+
+    Returns ``[(record, reason), ...]`` for resolved, non-failed rows
+    that are either above 95 % of the per-chip byte roofline, or
+    non-monotonic in k beyond 1.5x within their (matrix, strategy,
+    devices, dtype) group — SpMM work grows with k, so a smaller-k job
+    taking 1.5x LONGER than a larger-k sibling means one of the pair is
+    noise (both get flagged).
+    """
+    out = []
+    seen = set()
+
+    def flag(r, reason):
+        key = (r.matrix, r.k, r.strategy, r.devices, r.dtype)
+        if key not in seen:
+            seen.add(key)
+            out.append((r, reason))
+
+    resolved = [r for r in records
+                if not r.error and r.execution_time == r.execution_time]
+    for r in resolved:
+        if r.roofline_fraction and r.roofline_fraction > 0.95:
+            flag(r, f"{r.roofline_fraction * 100:.1f}% of roofline")
+    groups = {}
+    for r in resolved:
+        if r.roofline_fraction and r.roofline_fraction > 0.95:
+            continue  # already flagged; an artifact time must not drag
+            # its honest k-neighbors into the re-measure set
+        groups.setdefault(
+            (r.matrix, r.strategy, r.devices, r.dtype), []).append(r)
+    for grp in groups.values():
+        grp = sorted(grp, key=lambda r: r.k)
+        for lo, hi in zip(grp, grp[1:]):
+            if lo.execution_time > 1.5 * hi.execution_time:
+                reason = (f"non-monotonic in k: k={lo.k} "
+                          f"{lo.execution_time * 1e3:.3f} ms > 1.5x "
+                          f"k={hi.k} {hi.execution_time * 1e3:.3f} ms")
+                flag(lo, reason)
+                flag(hi, reason)
+    return out
+
+
+def remeasure_record(csr: CSR, rec: BenchRecord, *, runs: int = 3,
+                     mesh=None, warmup: int = 1, iters: int = 5,
+                     inner: int = 20) -> BenchRecord:
+    """Replace a suspicious row by the median of ``runs`` fresh
+    amortized measurements (VERDICT r4 #2's re-measure protocol).
+
+    The returned record is the run whose execution_time is the median,
+    stamped with ``remeasured=runs`` and ``spread_rel`` =
+    (max - min) / median over the runs — so the published number
+    carries its own dispersion. The strategy is reconstructed from the
+    row's canonical name (all canonical names are registered aliases).
+    """
+    import math
+
+    strat = get_strategy(rec.strategy)
+    recs = []
+    for _ in range(runs):
+        recs.append(run_benchmark(
+            csr, rec.k, strat, mesh, matrix_name=rec.matrix,
+            check=True, amortized=True, warmup=warmup, iters=iters,
+            inner=inner, dtype=csr.values.dtype,
+        ))
+    resolved = [r for r in recs
+                if not r.error and r.execution_time == r.execution_time]
+    if not resolved:
+        return recs[-1]
+    times = sorted(r.execution_time for r in resolved)
+    med = times[len(times) // 2]
+    spread = ((times[-1] - times[0]) / med
+              if med and not math.isnan(med) else None)
+    base = next(r for r in resolved if r.execution_time == med)
+    return dataclasses.replace(base, remeasured=runs, spread_rel=spread)
 
 
 def read_csv(path: str) -> List[BenchRecord]:
@@ -486,6 +582,8 @@ def read_csv(path: str) -> List[BenchRecord]:
                 time_upper_bound=_opt_f(row.get("time_upper_bound", "")),
                 error=(row.get("error") or None)
                 if row.get("error") not in ("", "None") else None,
+                remeasured=int(row.get("remeasured") or 0),
+                spread_rel=_opt_f(row.get("spread_rel", "")),
             ))
     return records
 

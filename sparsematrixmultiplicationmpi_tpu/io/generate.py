@@ -35,6 +35,7 @@ __all__ = [
     "cage4_like",
     "roadnet_like",
     "dc1_like",
+    "amazon0302_like",
 ]
 
 
@@ -257,6 +258,51 @@ def roadnet_like(seed: int = 0, dtype=np.float64,
     ev = rng.uniform(-1.0, 1.0, size=len(ci)).astype(dtype)
     vals = np.concatenate([ev, ev])
     return expand_and_build_csr(rows, cols, vals, m, m, symmetric=False)
+
+
+def amazon0302_like(seed: int = 0, dtype=np.float64,
+                    scale: float = 1.0) -> CSR:
+    """Synthetic stand-in for amazon0302: co-purchase graph with strong
+    id locality plus a long-range tail.
+
+    The real matrix (SuiteSparse ``SNAP/amazon0302``, a reference
+    matrix-impact sweep entry, ``scripts/batch_test.sh:16`` /
+    ``results/analysis.csv`` — 262,111^2, 1,234,877 nnz, unsymmetric
+    pattern) is Amazon's March-2003 co-purchase crawl: each product
+    links to at most 5 "customers also bought" products, and because
+    product ids were assigned in crawl order, most links land NEAR the
+    diagonal (the real file is famously near-banded in natural order)
+    with a minority of long-range links. Model: out-degree ~Binomial
+    capped at 5 matching the 4.71 average, 85 % of targets at a
+    geometric (short) id distance on either side, 15 % uniform
+    (documented modeling assumptions — SNAP publishes the degree cap
+    and crawl-order id assignment, not the distance histogram). Pattern
+    semantics: all values 1.0, as the reference loader materializes
+    pattern files (``utils.cpp:127-131``). Unsymmetric, no diagonal.
+    """
+    rng = np.random.default_rng(seed)
+    m = max(int(262_111 * scale), 16)
+    target_nnz = max(int(1_234_877 * scale), m)
+    # Out-degrees: cap 5, mean ~4.71 -> most rows at the cap.
+    deg = np.minimum(rng.binomial(8, 4.71 / 8, size=m), 5)
+    rows = np.repeat(np.arange(m, dtype=np.int64), deg)
+    n_edges = rows.size
+    short = rng.uniform(size=n_edges) < 0.85
+    dist = rng.geometric(1.0 / 40.0, size=n_edges)  # mean id distance 40
+    sign = rng.choice((-1, 1), size=n_edges)
+    cols = np.where(
+        short,
+        np.clip(rows + sign * dist, 0, m - 1),
+        rng.integers(0, m, size=n_edges),
+    )
+    off_diag = cols != rows
+    rows, cols = rows[off_diag], cols[off_diag]
+    # Trim/keep to the target count (dedupe happens in the build).
+    if rows.size > target_nnz:
+        keep = rng.permutation(rows.size)[:target_nnz]
+        rows, cols = rows[keep], cols[keep]
+    vals = np.ones(rows.size, dtype=dtype)
+    return _dedupe_build(rows, cols, vals, m, m)
 
 
 def dc1_like(seed: int = 0, dtype=np.float64, scale: float = 1.0) -> CSR:

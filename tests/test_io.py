@@ -308,3 +308,33 @@ def test_dc1_like_structure():
     deg = (dense != 0).sum(1)
     assert np.median(deg) <= 10
     assert deg.max() > 8 * np.median(deg)  # hub rows present
+
+
+def test_amazon0302_like_structure():
+    """Twin of SNAP/amazon0302 (reference matrix-impact sweep family):
+    pattern values, out-degree cap 5, strong id locality with a
+    long-range tail, unsymmetric, no diagonal."""
+    from sparsematrixmultiplicationmpi_tpu.io.generate import (
+        amazon0302_like,
+    )
+
+    csr = amazon0302_like(scale=0.02)
+    m, n = csr.shape
+    assert m == n == int(262_111 * 0.02)
+    vals = np.asarray(csr.values)
+    assert (vals == 1.0).all()  # pattern semantics (utils.cpp:127-131)
+    lengths = np.asarray(csr.row_lengths())
+    assert lengths.max() <= 5
+    assert 3.5 < lengths.mean() < 5.0
+    coo = csr.to_coo()
+    i = np.asarray(coo.row_indices).astype(np.int64)
+    j = np.asarray(coo.col_indices).astype(np.int64)
+    assert (i != j).all()
+    d = np.abs(i - j)
+    assert np.median(d) < 200       # near-banded bulk
+    assert (d > m // 10).mean() > 0.02  # long-range tail exists
+    # full-scale stats match the real file's published dims/nnz within
+    # the decimation tolerance
+    full = amazon0302_like()
+    assert full.shape == (262_111, 262_111)
+    assert abs(full.nnz - 1_234_877) / 1_234_877 < 0.12
