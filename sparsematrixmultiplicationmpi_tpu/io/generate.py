@@ -318,23 +318,28 @@ def dc1_like(seed: int = 0, dtype=np.float64, scale: float = 1.0) -> CSR:
     load-imbalance catastrophically and the reference's non-zero-element
     strategy was its best performer at low core counts (0.0878 s @ 4,
     BASELINE.md). Model: symmetric random device graph at the matched
-    avg degree, plus ``n_hubs`` rail nets each coupled to a uniform
-    ~1.5 % of all nodes, plus the full diagonal (SPD-style stamps keep
-    every diagonal entry). Hub degree fraction is a documented modeling
-    assumption (per-row stats of the real file are not published in the
-    reference).
+    avg degree, plus rail nets whose degrees are FRACTIONS OF m
+    (0.35 / 0.10 / 0.03 / 0.01 — a ground/supply rail touches a large
+    fraction of ALL nodes; real DC circuit matrices' max row degree is
+    of order m, which is why per-row partitioners imbalance
+    catastrophically on them), plus the full diagonal (SPD-style stamps
+    keep every diagonal entry). Rail-degree fractions are documented
+    modeling assumptions (per-row stats of the real file are not
+    published in the reference); rounds 1-4 used 1.5 % per rail, which
+    contradicted this docstring's own "large fraction" and made the
+    family LOOK like a uniform-random matrix to every structure
+    detector — fixed in round 5.
     """
     rng = np.random.default_rng(seed)
     m = max(int(116_835 * scale), 64)
     target_nnz = max(int(766_396 * scale), m)
-    n_hubs = max(int(round(4 * max(scale, 0.05))), 2)
-    hub_frac = 0.015
-    # Floor keeps hubs dominant at smoke-test scales (a rail net is
-    # orders of magnitude denser than a device stamp at ANY size).
-    hub_deg = min(m - 1, max(int(m * hub_frac), 64))
+    rail_fracs = (0.35, 0.10, 0.03, 0.01)
     hub_edges_i, hub_edges_j = [], []
-    hubs = rng.choice(m, size=n_hubs, replace=False)
-    for h in hubs:
+    hubs = rng.choice(m, size=len(rail_fracs), replace=False)
+    for h, frac in zip(hubs, rail_fracs):
+        # Floor keeps hubs dominant at smoke-test scales (a rail net is
+        # orders of magnitude denser than a device stamp at ANY size).
+        hub_deg = min(m - 1, max(int(m * frac), 64))
         nb = rng.choice(m, size=hub_deg, replace=False)
         nb = nb[nb != h]
         hub_edges_i.append(np.full(nb.size, h, dtype=np.int64))

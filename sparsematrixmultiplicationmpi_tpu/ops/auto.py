@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..formats.banded import BandedBlocks
@@ -82,20 +83,39 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
     per-SpMM cost under the measured v5e constants.
 
     Windowed tiles when enough nonzeros cluster into MXU tiles (after an
-    optional RCM reorder); otherwise the cheaper of the two gather-path
-    formats (bucketed ELL vs COO+segment-sum); band-dense remains for
-    explicitly banded use. ``format_kwargs`` are forwarded to
-    ``WindowedPairs.from_csr`` (e.g. ``block_rows``, ``candidates``).
+    optional RCM reorder); hub-column extraction (dense rank-h
+    correction + auto-formatted remainder) when rail-net columns carry
+    enough nonzeros to beat their gather cost (the dc1 circuit class);
+    otherwise the cheaper of the two gather-path formats (bucketed ELL
+    vs COO+segment-sum); band-dense remains for explicitly banded use.
+    ``format_kwargs`` are forwarded to ``WindowedPairs.from_csr``
+    (e.g. ``block_rows``, ``candidates``).
     """
+    op, _ = _auto_with_est(csr, reorder, format_kwargs, allow_hub=True)
+    return op
+
+
+def _auto_with_est(csr: CSR, reorder, format_kwargs,
+                   allow_hub: bool):
+    """(operand, estimated seconds) — the recursive candidate search
+    behind :func:`auto_format` (one level of hub recursion)."""
     import inspect
 
     def _route(fn):
         sig = inspect.signature(fn).parameters
         return {k: v for k, v in format_kwargs.items() if k in sig}
 
-    ests = gather_class_estimates(
-        csr, k_nominal=format_kwargs.get("k_nominal", 32))
+    k_nominal = format_kwargs.get("k_nominal", 32)
+    ests = gather_class_estimates(csr, k_nominal=k_nominal)
     best_gather = min(ests.values(), key=lambda t: t[0])[0]
+
+    def gather_op():
+        name = min(ests, key=lambda nm: ests[nm][0])
+        if name == "coo":
+            return csr.to_coo()
+        return ests["bucketed_ell"][1]
+
+    candidates = [(best_gather, gather_op)]
 
     # Dense-tile candidates, both carrying the same est_seconds metric:
     # the general windowed tiles and the 3-block band specialization
@@ -113,12 +133,37 @@ def auto_format(csr: CSR, *, reorder: str | None = "auto",
     dense_candidates = [f for f in (wp, bb) if f is not None]
     if dense_candidates:
         best_dense = min(dense_candidates, key=lambda f: f.est_seconds)
-        if best_dense.est_seconds < best_gather:
-            return best_dense
-    name = min(ests, key=lambda nm: ests[nm][0])
-    if name == "coo":
-        return csr.to_coo()
-    return ests["bucketed_ell"][1]
+        candidates.append((best_dense.est_seconds, lambda: best_dense))
+
+    if allow_hub:
+        # Hub-column extraction (the dc1 circuit class): a column with
+        # c_j nonzeros costs ~c_j gather slots on every multiply but
+        # only m*4 B of dense streaming as a rank-1 term — break-even
+        # at c_j ~ m*4B / HBM_BW / ELL_S_PER_SLOT (~230 nnz at
+        # m = 117k). One recursion level formats the remainder.
+        from ..formats.hub import HubExtracted, split_hub_columns
+
+        m, _ = csr.shape
+        threshold = max(int(m * 4 / HBM_BW / ELL_S_PER_SLOT), 32)
+        split = split_hub_columns(csr, threshold=threshold)
+        if split is not None:
+            hub_ids, dense_cols, rem = split
+            rem_op, rem_est = _auto_with_est(
+                rem, reorder, format_kwargs, allow_hub=False)
+            h = len(hub_ids)
+            hub_cost = (m * h + h * k_nominal) * 4 / HBM_BW
+            est = rem_est + hub_cost
+
+            def hub_op():
+                return HubExtracted(
+                    dense_cols=dense_cols, hub_ids=hub_ids,
+                    remainder=rem_op, shape=csr.shape,
+                    est_seconds=est)
+
+            candidates.append((est, hub_op))
+
+    best_est, builder = min(candidates, key=lambda t: t[0])
+    return builder(), best_est
 
 
 def _on_accelerator() -> bool:
@@ -138,6 +183,25 @@ def spmm_any(operand: AutoFormat, v: jax.Array,
     ``encode``/``iterate``/``decode`` protocol where available instead of
     paying any boundary transforms per call.
     """
+    from ..formats.hub import HubExtracted
+
+    if isinstance(operand, HubExtracted):
+        # Rank-h dense correction: one (m, h) @ (h, k) MXU matmul over
+        # the hub columns' values plus the remainder's own path. f32
+        # needs HIGHEST (the MXU default truncates f32 inputs to bf16).
+        base = spmm_any(operand.remainder, v, use_pallas=use_pallas)
+        vh = jnp.take(v, operand.hub_ids, axis=0)
+        dc = operand.dense_cols
+        if dc.dtype != v.dtype:
+            vh = vh.astype(dc.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if dc.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT)
+        corr = jax.lax.dot_general(
+            jnp.asarray(dc), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=base.dtype, precision=prec)
+        return base + corr
     if isinstance(operand, WindowedPairs):
         from .windowed import spmm_windowed
 
