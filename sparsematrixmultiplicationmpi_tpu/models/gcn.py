@@ -53,7 +53,12 @@ def normalize_adjacency(csr: CSR, add_self_loops: bool = True) -> CSR:
     deg = np.zeros(m)
     np.add.at(deg, rows, vals)
     dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg == 0, 1, deg)), 0.0)
-    vals = dinv[rows] * vals * dinv[cols]
+    # Normalize in f64 for accuracy, but PRESERVE the input dtype: an
+    # f64 result from an f32 adjacency silently built formats without
+    # bf16 split planes, which the TPU Pallas path then mis-read as
+    # split (round-5 graft-entry failure: "slab width 512 != 256").
+    in_dtype = np.asarray(coo.values).dtype
+    vals = (dinv[rows] * vals * dinv[cols]).astype(in_dtype)
     from ..formats.matrix import COO
 
     return COO.from_arrays(vals, rows, cols, (m, m)).to_csr()

@@ -39,40 +39,92 @@ __all__ = ["auto_format", "spmm_any", "spmm", "gather_class_estimates"]
 
 AutoFormat = Union[WindowedPairs, BandedBlocks, BucketedELL, COO]
 
-#: Measured on v5e (scripts/exp_gather_calib2.py, powerlaw + GCN graphs,
-#: k in {1,8,32,128}): the COO gather+sorted-segment-sum path costs a
-#: nearly k-flat ~11.5 ns per NONZERO (10.7-11.9 measured), while the
-#: bucketed-ELL fused gather+reduce costs ~2.5-3.6 ns per padded SLOT.
-#: The class choice is therefore dominated by the ELL slot inflation
-#: (6.4x on powerlaw -> COO wins; 1.5x on a mild-skew GCN graph -> ELL
-#: wins by 2.3x).
+#: Legacy optimistic per-unit costs (round-2 fit at m ~ 100k,
+#: scripts/exp_gather_calib2.py). Kept as BEST-CASE unit costs — the
+#: hub-extraction break-even uses ELL_S_PER_SLOT as the cheapest a
+#: gathered slot can ever be — but per-SpMM ESTIMATES now come from the
+#: round-5 calibrated table below: at large m these constants were
+#: 4.5-13x optimistic (VERDICT r4 next #4; roadnet_like k=32 measures
+#: 245.7 ms where the flat model said 18.4).
 COO_S_PER_NNZ = 11.5e-9
 ELL_S_PER_SLOT = 2.5e-9
 
 
+def _calib_model():
+    """(per-path power-law coefficients, anchor features, residuals) —
+    fit lazily from the embedded hardware table and cached."""
+    global _CALIB_CACHE
+    try:
+        return _CALIB_CACHE
+    except NameError:
+        pass
+    from ._gather_calib import GATHER_CALIB_RECORDS
+
+    model = {}
+    for path in ("coo", "ell"):
+        rows = [r for r in GATHER_CALIB_RECORDS if r[0] == path]
+        X = np.array([[1.0, np.log(w), np.log(m), np.log(k)]
+                      for _, m, w, k, _ in rows])
+        y = np.array([np.log(s) for *_, s in rows])
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        model[path] = (coef, X[:, 1:], y - X @ coef)
+    _CALIB_CACHE = model
+    return model
+
+
+def _calibrated_gather_seconds(path: str, work: int, m: int,
+                               k: int) -> float:
+    """Measured-table estimate of one gather-path SpMM in seconds.
+
+    Log-space power-law prior + inverse-distance-weighted residual
+    correction over the 41-record v5e anchor grid
+    (``ops/_gather_calib.py``, artifact results/gather_calib3.json):
+    exact on the anchors (the sweep families), leave-one-out median
+    ratio error ~1.25x elsewhere, and the power-law tail extrapolates
+    the measured superlinearity in m (exponents ~0.5-0.8 on both m and
+    work) instead of a flat per-unit cost.
+    """
+    coef, feats, resid = _calib_model()[path]
+    x = np.array([1.0, np.log(max(work, 1)), np.log(max(m, 1)),
+                  np.log(max(k, 1))])
+    dist = np.linalg.norm(feats - x[1:], axis=1)
+    w = 1.0 / (dist * dist + 1e-3)
+    return float(np.exp(x @ coef + np.sum(w * resid) / np.sum(w)))
+
+
 def gather_class_estimates(csr: CSR, k_nominal: int = 32):
-    """Estimated per-SpMM seconds for the two gather-path formats.
+    """Estimated per-SpMM seconds for the two gather-path formats,
+    from the round-5 hardware calibration (``_calibrated_gather_
+    seconds``; results/gather_calib3.json).
 
-    * BucketedELL: ~2.5 ns per PADDED slot (fused gather+reduce) plus
-      slot and restore bytes at HBM rate.
-    * COO + sorted segment-sum: ~11.5 ns per NONZERO (k-flat, measured
-      up to k=128) plus the (nnz, k) product array XLA materializes
-      between the gather and the segment-sum.
-
-    Measured on v5e (scripts/exp_gather_calib2.py): the choice is
-    dominated by the ELL slot inflation — COO wins on heavy skew
-    (powerlaw: 6.4x inflation, 9.5 vs 13.2 ms at k=32), bucketed ELL on
-    mild skew (GCN graph: 1.5x inflation, 2.8 vs 6.4 ms at k=128).
+    The class choice the table encodes: COO+segment-sum wins on heavy
+    slot inflation (powerlaw 6.35x: 9.0 vs 10.6 ms at k=6), bucketed
+    ELL on mild skew (uniform 1.37x: 3.8 vs 12.4 ms at k=32; dc1 1.84x:
+    3.9 vs 8.0 ms) — and on the amazon/roadnet classes BOTH paths are
+    measured 10-60x worse than their old flat-constant estimates, which
+    is what the windowed tiling gate needs to know (its round-4 fix
+    passes this estimate as ``gather_baseline_s``).
     """
     bell = BucketedELL.from_csr(csr)
     padded_rows = sum(b.m_padded * b.width for b in bell.buckets)
     m = csr.shape[0]
+    # The legacy linear model acts as a FLOOR under the calibrated
+    # surface: below the table's smallest anchor (m = 20k) the fitted
+    # power-law (m^0.5-0.8) extrapolates optimistically past the
+    # per-unit costs the old fit measured at small scale, which flipped
+    # fem3d-class routing away from windowed tiles. max() keeps the
+    # calibrated values wherever the table dominates (every sweep
+    # family) and the measured per-unit floor everywhere smaller.
     row_bytes = k_nominal * 4
     out_bytes = m * row_bytes / HBM_BW
-    est_bell = (padded_rows * ELL_S_PER_SLOT
-                + (padded_rows + m) * row_bytes / HBM_BW + out_bytes)
-    est_coo = (csr.nnz * COO_S_PER_NNZ
-               + 2 * csr.nnz * row_bytes / HBM_BW + out_bytes)
+    floor_bell = (padded_rows * ELL_S_PER_SLOT
+                  + (padded_rows + m) * row_bytes / HBM_BW + out_bytes)
+    floor_coo = (csr.nnz * COO_S_PER_NNZ
+                 + 2 * csr.nnz * row_bytes / HBM_BW + out_bytes)
+    est_bell = max(_calibrated_gather_seconds(
+        "ell", padded_rows, m, k_nominal), floor_bell)
+    est_coo = max(_calibrated_gather_seconds(
+        "coo", csr.nnz, m, k_nominal), floor_coo)
     return {"bucketed_ell": (est_bell, bell),
             "coo": (est_coo, None)}
 

@@ -777,7 +777,12 @@ def spmm_windowed_pallas(wp: WindowedPairs, v_p: jax.Array, *,
             from .windowed import spmm_windowed_xla
 
             return spmm_windowed_xla(wp, v_p)
-        split = wp.tiles.dtype == jnp.float32
+        # Split mode follows the planes the BUILD produced, not the tile
+        # dtype: an f64-built format has no split planes (tiles_t is a
+        # single transposed plane), and inferring split from dtype after
+        # an external leaf-level cast to f32 made the kernel read the
+        # unsplit tiles_t as hi/lo pairs (round-5 graft-entry failure).
+        split = wp.tiles_split is not None
         slab_dtype = jnp.float32 if split else wp.tiles.dtype
         (slabs,) = chunk_slabs(v_p.astype(slab_dtype), C=wp.chunk_cols,
                                split=split, interpret=interpret)

@@ -188,7 +188,10 @@ def windowed_t_chain(wp: WindowedPairs, k: int, *,
         windowed_matmul_tmulti_phased,
     )
 
-    split = wp.tiles.dtype == jnp.float32
+    # Follow the build's planes, not the tile dtype (see
+    # pallas_windowed.spmm_windowed_pallas — f64-built formats carry a
+    # single unsplit tiles_t plane).
+    split = wp.tiles_split is not None
     slab_dtype = jnp.float32 if split else wp.tiles.dtype
     C = wp.chunk_cols
 
