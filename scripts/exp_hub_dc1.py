@@ -71,7 +71,7 @@ def main() -> int:
     result = {"device": dev.device_kind, "m": m, "nnz": csr.nnz,
               "ks": {}}
 
-    hub_op = auto_format(csr)
+    hub_op = auto_format(csr, allow_hub=True)
     is_hub = isinstance(hub_op, HubExtracted)
     result["auto_picked_hub"] = is_hub
     if is_hub:

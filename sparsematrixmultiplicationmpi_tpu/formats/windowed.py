@@ -109,6 +109,15 @@ TMULTI_PAIR_S = 29e-9
 #: scripts/exp_kernel_probe13.py ``scat`` — i.e. ~3.5 ns/row; a 23k-row
 #: scatter-add alternative measured slower at 573 us).
 SPILL_RESTORE_S_PER_ROW = 3.5e-9
+#: Auto-search refuses tilings whose optimal split spills more than this
+#: fraction of nnz. Measured bracket (round-5 threshold ladder,
+#: results/auto_threshold_tpu.json): a 54 %-spill build WINS vs gather
+#: (1.47 vs 2.17 ms, rung 0.55) while a 74 %-spill build LOSES 2.1x
+#: (8.74 vs 4.08 ms, rung 0.75); every family windowed wins in the
+#: round-4 sweep keeps spill <= 22 %. The boundary is placed between
+#: the two measured rungs. Callers pinning ``block_rows`` bypass the
+#: guard (explicit spill-path tests/probes).
+SPILL_FRAC_REFUSE = 0.65
 #: Sub-sublane fat vectors (k % 8 != 0) at least this wide are zero-
 #: padded to the next sublane multiple and run through the Pallas kernel
 #: (Mosaic cannot lower unaligned dots); narrower k takes the XLA path.
@@ -455,6 +464,33 @@ def _search_tilings(csr: "CSR", i0, j0, *, block_rows=None,
                 i, j, m, n, R, C_cand, itemsize, k_nominal,
                 pairs_per_step, allow_spill=allow_spill,
             )
+            # Re-price a NONTRIVIAL spill with the calibrated gather
+            # surface: the linear 1.6 ns/entry inside the split is a
+            # best-case constant, and on mixed band+scatter structure
+            # it underestimates the spill's bucketed-ELL cost several-
+            # fold (round-5 hardware ladder, results/
+            # auto_threshold_tpu.json: windowed measured 8.7 ms where
+            # the linear est said 1.9 at band coverage 0.26). The split
+            # itself stays linear (its optimum is insensitive at small
+            # spill); only the accept/route estimate pays the measured
+            # price. 1.6x is the scattered-spill slot inflation under
+            # width_align=2 (between uniform 1.37x and dc1 1.84x,
+            # results/gather_calib3.json records).
+            spill_nnz = int(counts[~dense].sum())
+            if spill_nnz > 0.05 * max(csr.nnz, 1):
+                from ..ops.auto import _calibrated_gather_seconds
+
+                est += (_calibrated_gather_seconds(
+                    "ell", int(spill_nnz * 1.6), m, k_nominal)
+                    - spill_nnz * GATHER_S_PER_ROW)
+            # Spill-majority guard (see SPILL_FRAC_REFUSE): when the
+            # optimal split spills most of the matrix, windowed is the
+            # wrong CLASS and the linear spill term misses several-fold.
+            # Auto-search only — a caller pinning block_rows (spill-path
+            # tests, probes) builds what it asks.
+            if (block_rows is None
+                    and spill_nnz > SPILL_FRAC_REFUSE * max(csr.nnz, 1)):
+                continue
             tile_bytes = int(dense.sum()) * R * C_cand * itemsize
             if tile_bytes > DENSE_BYTES_HARD_CAP:
                 continue

@@ -130,20 +130,27 @@ def gather_class_estimates(csr: CSR, k_nominal: int = 32):
 
 
 def auto_format(csr: CSR, *, reorder: str | None = "auto",
-                **format_kwargs) -> AutoFormat:
+                allow_hub: bool = False, **format_kwargs) -> AutoFormat:
     """Pick the fastest storage for this matrix's structure by estimated
     per-SpMM cost under the measured v5e constants.
 
     Windowed tiles when enough nonzeros cluster into MXU tiles (after an
-    optional RCM reorder); hub-column extraction (dense rank-h
-    correction + auto-formatted remainder) when rail-net columns carry
-    enough nonzeros to beat their gather cost (the dc1 circuit class);
-    otherwise the cheaper of the two gather-path formats (bucketed ELL
-    vs COO+segment-sum); band-dense remains for explicitly banded use.
-    ``format_kwargs`` are forwarded to ``WindowedPairs.from_csr``
-    (e.g. ``block_rows``, ``candidates``).
+    optional RCM reorder); otherwise the cheaper of the two gather-path
+    formats (bucketed ELL vs COO+segment-sum); band-dense remains for
+    explicitly banded use. ``format_kwargs`` are forwarded to
+    ``WindowedPairs.from_csr`` (e.g. ``block_rows``, ``candidates``).
+
+    ``allow_hub=True`` opts into hub-column extraction (dense rank-h
+    correction + auto-formatted remainder, the dc1 circuit class). It is
+    OFF by default: measured on the real v5e it LOSES on the very class
+    it targets (dc1_like 116 835 rows: 0.83x at k=6, 0.94x at k=32,
+    ``results/hub_dc1.json``) because the gather class is ROW-bound
+    (~1.6-3.7 ns/row), so removing hub *slots* barely cheapens the
+    remainder while the rank-h correction adds real dispatch + stream
+    cost (~0.5 ms) that the linear HBM model had priced at ~3 us.
     """
-    op, _ = _auto_with_est(csr, reorder, format_kwargs, allow_hub=True)
+    op, _ = _auto_with_est(csr, reorder, format_kwargs,
+                           allow_hub=allow_hub)
     return op
 
 

@@ -45,8 +45,11 @@ def test_split_returns_none_without_hubs():
 
 
 def test_auto_routes_dc1_to_hub_hybrid():
+    # allow_hub is opt-in: measured on hardware the hybrid LOSES on dc1
+    # (0.83x/0.94x, results/hub_dc1.json) -- this test covers the
+    # opt-in path's correctness, not the default route.
     csr = dc1_like(scale=0.02).astype(np.float32)
-    op = auto_format(csr)
+    op = auto_format(csr, allow_hub=True)
     assert isinstance(op, HubExtracted), type(op)
     assert 1 <= op.n_hubs <= 64
     v = np.asarray(generate_fat_vector(csr.shape[1], 8, seed=2),
@@ -59,7 +62,7 @@ def test_auto_routes_dc1_to_hub_hybrid():
 
 def test_hub_hybrid_under_jit_and_device_put():
     csr = dc1_like(scale=0.02).astype(np.float32)
-    op = auto_format(csr)
+    op = auto_format(csr, allow_hub=True)
     assert isinstance(op, HubExtracted)
     op = jax.device_put(op)  # pytree registration round-trip
     v = jnp.asarray(generate_fat_vector(csr.shape[1], 4, seed=3),
@@ -73,7 +76,7 @@ def test_hub_hybrid_under_jit_and_device_put():
 
 def test_hub_astype_and_bf16_path():
     csr = dc1_like(scale=0.02).astype(np.float32)
-    op = auto_format(csr)
+    op = auto_format(csr, allow_hub=True)
     assert isinstance(op, HubExtracted)
     opb = op.astype(jnp.bfloat16)
     v = np.asarray(generate_fat_vector(csr.shape[1], 4, seed=4),
@@ -87,5 +90,13 @@ def test_hub_astype_and_bf16_path():
 
 def test_uniform_matrix_does_not_pay_hub_candidate():
     csr = random_csr(2000, 2000, 20000, seed=5).astype(np.float32)
+    op = auto_format(csr, allow_hub=True)
+    assert not isinstance(op, HubExtracted)
+
+
+def test_hub_off_by_default():
+    # Default routing never builds HubExtracted: the hybrid measured a
+    # LOSS on its target class (results/hub_dc1.json).
+    csr = dc1_like(scale=0.02).astype(np.float32)
     op = auto_format(csr)
     assert not isinstance(op, HubExtracted)
