@@ -96,3 +96,41 @@ def test_auto_routes_diffuse_planar_to_windowed():
     csr = roadnet_like(scale=0.1).astype(np.float32)
     op = auto_format(csr, k_nominal=6)
     assert isinstance(op, WindowedPairs), type(op).__name__
+
+
+def test_spill_majority_guard_refuses_mixed_band_scatter():
+    """Round-5 threshold-ladder regression (results/auto_threshold_tpu
+    .json): a banded base + 75 % uniform off-band entries drives the
+    windowed split to ~74 % spill, where the built format measured 2.1x
+    SLOWER than the pure gather path (8.74 vs 4.08 ms on v5e). The
+    auto-search must refuse such tilings (SPILL_FRAC_REFUSE); a caller
+    pinning block_rows still gets an explicit build."""
+    import scipy.sparse as sp
+
+    from sparsematrixmultiplicationmpi_tpu.formats.matrix import CSR
+
+    base = banded_csr(30_000, 150, 12, seed=75)
+    rnd_nnz = int(base.nnz * 0.75 / 0.25)
+    from sparsematrixmultiplicationmpi_tpu.io.generate import random_csr
+
+    rnd = random_csr(30_000, 30_000, rnd_nnz, seed=76)
+    a = sp.csr_matrix((np.asarray(base.values),
+                       np.asarray(base.col_indices),
+                       np.asarray(base.row_ptr)), shape=base.shape)
+    b = sp.csr_matrix((np.asarray(rnd.values),
+                       np.asarray(rnd.col_indices),
+                       np.asarray(rnd.row_ptr)), shape=rnd.shape)
+    s = (a + b).tocsr()
+    csr = CSR.from_arrays(s.data, s.indices, s.indptr,
+                          base.shape).astype(np.float32)
+
+    op = auto_format(csr, k_nominal=32)
+    assert not isinstance(op, WindowedPairs), type(op).__name__
+
+    # Pinned build bypasses the guard (spill-path tests need it); the
+    # beat-gather margin must also be waived — an explicit build is a
+    # request, not a routing decision.
+    pinned = WindowedPairs.from_csr(csr, k_nominal=32, block_rows=128,
+                                    beat_gather_margin=np.inf)
+    assert pinned is not None
+    _check(pinned, csr, k=8)
