@@ -116,8 +116,21 @@ class BandedBlocks:
                 # a wider spill-free window often beats a tighter one
                 # with stragglers (fem_banded: r=256 at 1.0 coverage
                 # estimates 0.42 ms vs r=128 at 0.987 costing 0.67 ms).
+                spill_nnz = (1.0 - cov) * nnz
+                spill_s = spill_nnz * gather_ns_per_row * 1e-9
+                if spill_nnz > 0.05 * nnz:
+                    # Same round-5 ladder lesson as WindowedPairs: the
+                    # linear per-entry constant underprices a bucketed-
+                    # ELL spill several-fold on mixed structure; price
+                    # a nontrivial spill with the calibrated surface
+                    # (1.6x = scattered-spill slot inflation,
+                    # results/gather_calib3.json).
+                    from ..ops.auto import _calibrated_gather_seconds
+
+                    spill_s = max(spill_s, _calibrated_gather_seconds(
+                        "ell", int(spill_nnz * 1.6), m, k_nominal))
                 est = (dense_bytes / hbm_bw
-                       + (1.0 - cov) * nnz * gather_ns_per_row * 1e-9
+                       + spill_s
                        + (m * SPILL_RESTORE_S_PER_ROW if cov < 1.0
                           else 0.0))
                 if (cov >= min_coverage and dense_bytes <= max_inflation * vb
@@ -171,9 +184,17 @@ class BandedBlocks:
         )
 
         row_bytes = k_nominal * 4
+        spill_s = n_out * GATHER_S_PER_ROW
+        if n_out > 0.05 * nnz:
+            # Calibrated spill pricing (round-5 ladder; see the shape
+            # search above).
+            from ..ops.auto import _calibrated_gather_seconds
+
+            spill_s = max(spill_s, _calibrated_gather_seconds(
+                "ell", int(n_out * 1.6), m, k_nominal))
         est = (band.nbytes / HBM_BW
                + 4 * m * row_bytes / HBM_BW
-               + n_out * GATHER_S_PER_ROW
+               + spill_s
                + (m * SPILL_RESTORE_S_PER_ROW if n_out else 0.0))
         return cls(band=band, spill=spill, shape=(m, n), block_rows=r,
                    est_seconds=float(est))
