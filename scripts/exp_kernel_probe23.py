@@ -64,8 +64,12 @@ from sparsematrixmultiplicationmpi_tpu.utils.timing import measure_amortized
 K = 32
 
 
-def _kernel(pb_ref, pc_ref, tiles_ref, *rest, U, C, n_slabs, n_acc,
-            per_pair_cond, streams):
+def _kernel(pb_ref, pc_ref, fl_ref, tiles_ref, *rest, U, C, n_slabs,
+            n_acc, per_pair_cond, streams, precomp=False):
+    # precomp: fl_ref carries HOST-PRECOMPUTED per-pair flush flags
+    # (block differs from the previous pair). Removes the SMEM cur[0]
+    # read-modify-write from the per-pair branch CONDITION; the branch
+    # itself remains.
     slab_refs = rest[:n_slabs]
     out_ref = rest[n_slabs]
     accs = rest[n_slabs + 1:n_slabs + 1 + n_acc]
@@ -102,7 +106,14 @@ def _kernel(pb_ref, pc_ref, tiles_ref, *rest, U, C, n_slabs, n_acc,
             flush()
 
     for u in range(U):
-        if per_pair_cond:
+        if per_pair_cond and precomp:
+            idx = s * U + u
+
+            @pl.when(fl_ref[idx] != 0)
+            def _(idx=idx):
+                flush()
+                cur[0] = pb_ref[idx]
+        elif per_pair_cond:
             b = pb_ref[s * U + u]
 
             @pl.when(b != cur[0])
@@ -136,22 +147,31 @@ def run_mode(pb, pc, tiles_t, slabs, *, nb, U, mode, interpret=False):
 
     def slab_spec(u):
         return pl.BlockSpec(
-            (1, k8, 2 * C), lambda s, pb_, pc_, u=u: (pc_[s * U + u], 0, 0))
+            (1, k8, 2 * C),
+            lambda s, pb_, pc_, fl_, u=u: (pc_[s * U + u], 0, 0))
 
     fixed_slab = pl.BlockSpec(
-        (1, k8, 2 * C), lambda s, pb_, pc_: (0, 0, 0))
-    tile_spec = pl.BlockSpec((U, C2, R), lambda s, pb_, pc_: (s, 0, 0))
-    fixed_tile = pl.BlockSpec((U, C2, R), lambda s, pb_, pc_: (0, 0, 0))
+        (1, k8, 2 * C), lambda s, pb_, pc_, fl_: (0, 0, 0))
+    tile_spec = pl.BlockSpec((U, C2, R), lambda s, pb_, pc_, fl_: (s, 0, 0))
+    fixed_tile = pl.BlockSpec((U, C2, R),
+                              lambda s, pb_, pc_, fl_: (0, 0, 0))
 
-    n_acc, per_pair_cond, streams = {
-        "control":     (1, True, "all"),
-        "acc2":        (2, True, "all"),
-        "acc4":        (4, True, "all"),
-        "nocond":      (1, False, "all"),
-        "acc2_nocond": (2, False, "all"),
-        "dotsonly":    (1, True, "none"),
-        "tiles_nodot": (1, True, "tiles_only_touch"),
+    n_acc, per_pair_cond, streams, precomp = {
+        "control":      (1, True, "all", False),
+        "acc2":         (2, True, "all", False),
+        "acc4":         (4, True, "all", False),
+        "nocond":       (1, False, "all", False),
+        "acc2_nocond":  (2, False, "all", False),
+        "precomp":      (1, True, "all", True),
+        "acc2_precomp": (2, True, "all", True),
+        "dotsonly":     (1, True, "none", False),
+        "tiles_nodot":  (1, True, "tiles_only_touch", False),
     }[mode]
+    # Host-precomputable flush flags: pair i flushes iff its block
+    # differs from pair i-1's (pair 0 never flushes — cur starts there).
+    flags = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (pb[1:] != pb[:-1]).astype(jnp.int32)])
 
     if streams == "all":
         in_specs = [tile_spec, *[slab_spec(u) for u in range(U)]]
@@ -167,7 +187,7 @@ def run_mode(pb, pc, tiles_t, slabs, *, nb, U, mode, interpret=False):
         n_slabs = 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(S,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -187,7 +207,7 @@ def run_mode(pb, pc, tiles_t, slabs, *, nb, U, mode, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, k8, R), jnp.float32),
         interpret=interpret,
-    )(pb, pc, *ops)
+    )(pb, pc, flags, *ops)
 
 
 def main() -> int:
@@ -220,7 +240,7 @@ def main() -> int:
                    jnp.asarray(slabs_host), nb=nb, U=16,
                    mode="control", interpret=True)
     scale = float(jnp.abs(ref).max()) or 1.0
-    for mode in ("acc2", "acc4"):
+    for mode in ("acc2", "acc4", "precomp", "acc2_precomp"):
         got = run_mode(pb[:P_chk], pc[:P_chk], tiles_chk,
                        jnp.asarray(slabs_host), nb=nb, U=16,
                        mode=mode, interpret=True)
@@ -237,7 +257,7 @@ def main() -> int:
 
     results = {}
     for mode in ("control", "acc2", "acc4", "nocond", "acc2_nocond",
-                 "dotsonly", "tiles_nodot"):
+                 "precomp", "acc2_precomp", "dotsonly", "tiles_nodot"):
         try:
             timing, _ = measure_amortized(
                 lambda x: run_mode(pb, pc, ts, x, nb=nb, U=16, mode=mode),
