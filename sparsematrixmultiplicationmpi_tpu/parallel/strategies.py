@@ -464,6 +464,13 @@ class Auto(Strategy):
         boundary — without an MXU the gather hybrid wins at every
         coverage, inverting the known TPU ordering — hence the model,
         not a CPU wall clock, carries the decision).
+
+        Resolution honesty (the artifact's ``boundary_verdict``): the
+        hardware ladder confirms the argmin at every rung where the
+        top-two estimates differ by >1.3x; within that margin the
+        chip's bimodal Pallas timings (up to ~5x run-to-run spread on
+        the same op) cannot rank the candidates, and the cost of
+        either pick is bounded by the tie margin itself.
         """
         from ..formats.banded import BandedBlocks
         from ..formats.windowed import _search_tilings
