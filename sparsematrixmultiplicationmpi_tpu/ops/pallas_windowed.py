@@ -205,7 +205,7 @@ def _dot_kc_cr(a, b):
 
 def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
                    split: bool, pair_off: int = 0,
-                   fuse_resplit: bool = False):
+                   fuse_resplit: bool = False, n_acc: int = 1):
     """Transposed-state U-pairs-per-step kernel.
 
     Control structure: SMEM current-block tracking with a staged async
@@ -232,7 +232,9 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
     ``_kernel_split3``, 12 % faster MXU shape (``_dot_kc_cr``).
     """
     slab_refs = rest[:U]
-    out_ref, acc, stage, cur, prev, cnt, sem = rest[U:]
+    out_ref = rest[U]
+    accs = rest[U + 1:U + 1 + n_acc]
+    stage, cur, prev, cnt, sem = rest[U + 1 + n_acc:]
     s = pl.program_id(0)
     S = pl.num_programs(0)
 
@@ -240,7 +242,8 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
     def _():
         cur[0] = pb_ref[pair_off]
         cnt[0] = 0
-        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+        for a in accs:
+            a[...] = jnp.zeros(a.shape, a.dtype)
 
     def wait_prev():
         @pl.when(cnt[0] == 1)
@@ -249,13 +252,19 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
 
     def flush():
         wait_prev()
+        a = accs[0][...]
+        for extra in accs[1:]:
+            # Split accumulators (probe23: two alternating accumulators
+            # break the 16-op serial MXU dependency chain per step,
+            # measured -8 % on cop20k; >2 regress) are summed once per
+            # flush — identical arithmetic terms, reassociated.
+            a = a + extra[...]
         if fuse_resplit:
             # The next iterate's state layout, emitted directly from
             # the accumulator (VERDICT r4 #6): the chained consumer's
             # whole resplit pass (read + write of the full output at
             # HBM rate) disappears. split mode: lane-packed bf16
             # [hi | lo]; bf16 mode: one bf16 cast.
-            a = acc[...]
             if split:
                 hi = a.astype(jnp.bfloat16)
                 lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -263,11 +272,12 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
             else:
                 stage[...] = a.astype(jnp.bfloat16)
         else:
-            stage[...] = acc[...]
+            stage[...] = a
         pltpu.make_async_copy(stage, out_ref.at[cur[0]], sem).start()
         prev[0] = cur[0]
         cnt[0] = 1
-        acc[...] = jnp.zeros(acc.shape, acc.dtype)
+        for acc in accs:
+            acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
     for u in range(U):
         b = pb_ref[pair_off + s * U + u]
@@ -279,6 +289,7 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
 
         t = tiles_ref[u]
         sl = slab_refs[u][0]
+        acc = accs[u % n_acc]
         if split:
             acc[...] += (_dot_kc_cr(sl[:, :C], t[:C])
                          + _dot_kc_cr(sl[:, :C], t[C:])
@@ -292,15 +303,27 @@ def _kernel_tmulti(pb_ref, pc_ref, tiles_ref, *rest, U: int, C: int,
         pltpu.make_async_copy(stage, out_ref.at[prev[0]], sem).wait()
 
 
+#: Accumulators per step in the production U-pair kernel. probe23
+#: (results/probe23_overlap.json): the kernel is COMPUTE-leg-bound
+#: (dots + per-pair branches measure 1.32 ms standalone vs 0.95 ms for
+#: all DMA streams on cop20k), and two alternating accumulators break
+#: the 16-op serial MXU chain: 1.406 -> 1.292 ms (-8 %), bitwise-safe
+#: reassociation. 4 accumulators REGRESS (1.73 ms — flush-sum +
+#: VMEM-port cost); the precomputed-flag branch variant does not help
+#: (the branch itself, not the SMEM chain, costs the ~36 ns/pair).
+TMULTI_N_ACC = 2
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb", "pairs_per_step", "split", "interpret",
-                              "fuse_resplit"))
+                              "fuse_resplit", "n_acc"))
 def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
                            tiles_t: jax.Array, slabs: jax.Array, *,
                            nb: int, pairs_per_step: int = 8,
                            split: bool = True,
                            interpret: bool = False,
-                           fuse_resplit: bool = False) -> jax.Array:
+                           fuse_resplit: bool = False,
+                           n_acc: int = TMULTI_N_ACC) -> jax.Array:
     """Raw fused contraction in TRANSPOSED state: slabs in, (nb, k8, R)
     f32 out — the chained-iterate hot body with zero per-step layout
     transforms (``resplit_slabs`` turns the output back into the next
@@ -376,7 +399,8 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
         # tiled layout rejects it — the round-3 compile failure).
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((k8, R), jnp.float32),  # accumulator
+            *[pltpu.VMEM((k8, R), jnp.float32)
+              for _ in range(n_acc)],           # accumulators (probe23)
             stage,                             # DMA staging
             pltpu.SMEM((1,), jnp.int32),       # current block
             pltpu.SMEM((1,), jnp.int32),       # outstanding-copy block
@@ -385,7 +409,7 @@ def windowed_matmul_tmulti(pair_block: jax.Array, pair_chunk: jax.Array,
         ],
     )
     kernel = functools.partial(_kernel_tmulti, U=U, C=C, split=split,
-                               fuse_resplit=fuse_resplit)
+                               fuse_resplit=fuse_resplit, n_acc=n_acc)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
