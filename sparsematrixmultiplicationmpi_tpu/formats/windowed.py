@@ -103,6 +103,15 @@ PRODUCTION_PAIRS_PER_STEP = 16
 #: overestimated — harmless, production is 16):
 #:   cost/pair = TMULTI_STEP_S/U + TMULTI_PAIR_S + bytes/TILE_STREAM_BW
 TMULTI_STEP_S = 77e-9
+#: Deliberately NOT refit after the round-5 acc2 adoption: the shipped
+#: two-accumulator kernel's marginal pair cost at (128,128) measured
+#: ~5-13 ns (probe23 1.292 ms / probe24 1.144 ms, ~11 % chip spread),
+#: but this constant is shape-blind and is precisely what keeps the
+#: search off fine tiles, whose measured per-pair cost is 185-200 ns
+#: (probe18: compute does NOT hide behind the thinner DMA streams
+#: there). Lowering it to the (128,128)-only value would re-admit
+#: shapes measured 1.4-1.8x slower; the ~10 % absolute overestimate at
+#: the production shape is the price of a safe relative ordering.
 TMULTI_PAIR_S = 29e-9
 #: Per-output-row cost of a nonzero spill: the bucketed-ELL restore take
 #: over m rows plus the full-size add (419 us measured at m=121k, k=32 —
