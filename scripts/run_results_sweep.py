@@ -90,9 +90,20 @@ aborted = None
 records = []
 try:
     records = sweep(
-        matrices, ks=[1, 3, 6, 9, 12, 32],
+        matrices, ks=[1, 6, 12, 32],
         strategy_names=["row", "column", "nnz", "windowed_row", "auto",
                         "library"],
+        comm_split=True, **common,
+    )
+    # k in {3, 9} (the reference's remaining batch_test.sh k values)
+    # run the three informative fast strategies only: the slow gather
+    # and library classes cost 10-30 ms/row here and their k-scaling is
+    # already characterized at four other k values — the full grid at
+    # six k values measured ~95 s/row and would not fit a hardware
+    # session (round-5 trim, wall-clock-bound).
+    records += sweep(
+        matrices, ks=[3, 9],
+        strategy_names=["column", "windowed_row", "auto"],
         comm_split=True, **common,
     )
     # bf16 tier (VERDICT round-1 #9): the Auto strategy under the
