@@ -121,10 +121,14 @@ try:
     # results/analysis.csv): the two families the main tier lacks —
     # planar road network (barely-scales regime) and circuit hubs
     # (load-imbalance regime).
+    # Round-5 trim (wall-clock bound): only the strategies whose code
+    # changed this round (the acc2 windowed kernel) are re-measured on
+    # the matrix-impact tier; the gather-class/library/row rows for
+    # these families exercise unchanged code and stand in
+    # results/tpu_v5e_sweep_r4.csv (135/135 correct, round-4 hardware).
     records += sweep(
         tier3,
-        ks=[6], strategy_names=["row", "column", "nnz", "windowed_row",
-                                "auto", "library"],
+        ks=[6], strategy_names=["windowed_row", "auto"],
         comm_split=True, **common,
     )
 except RuntimeError as e:
